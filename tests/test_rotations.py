@@ -1,0 +1,164 @@
+"""Geometry unit tests: parity vs scipy.spatial.transform.Rotation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from rohm_tpu.geometry import (
+    aa_to_quat,
+    aa_to_rotmat,
+    qbetween,
+    qinv,
+    qmul,
+    qrot,
+    quat_to_aa,
+    quat_to_rotmat,
+    rot6d_to_rotmat,
+    rotmat_to_aa,
+    rotmat_to_quat,
+    rotmat_to_rot6d,
+    skew_angular_velocity,
+)
+
+
+def random_rotvecs(rng, n=64, scale=np.pi * 0.9):
+    v = rng.normal(size=(n, 3))
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    angles = rng.uniform(-scale, scale, size=(n, 1))
+    return (v * angles).astype(np.float32)
+
+
+def quat_allclose(q1, q2, atol=1e-5):
+    """Quaternions are equal up to sign."""
+    d = np.minimum(np.abs(q1 - q2).max(-1), np.abs(q1 + q2).max(-1))
+    np.testing.assert_array_less(d, atol)
+
+
+class TestAaRotmat:
+    def test_aa_to_rotmat_vs_scipy(self, rng):
+        aa = random_rotvecs(rng)
+        got = np.asarray(aa_to_rotmat(jnp.asarray(aa)))
+        want = R.from_rotvec(aa).as_matrix()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_aa_to_rotmat_near_zero(self):
+        aa = jnp.asarray([[0.0, 0.0, 0.0], [1e-8, -1e-8, 1e-8]])
+        got = np.asarray(aa_to_rotmat(aa))
+        np.testing.assert_allclose(got, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-6)
+
+    def test_rotmat_to_aa_roundtrip(self, rng):
+        aa = random_rotvecs(rng)
+        back = np.asarray(rotmat_to_aa(aa_to_rotmat(jnp.asarray(aa))))
+        np.testing.assert_allclose(back, aa, atol=1e-4)
+
+    def test_rotmat_to_aa_vs_scipy(self, rng):
+        aa = random_rotvecs(rng)
+        m = R.from_rotvec(aa).as_matrix().astype(np.float32)
+        got = np.asarray(rotmat_to_aa(jnp.asarray(m)))
+        np.testing.assert_allclose(got, aa, atol=1e-4)
+
+    def test_grad_finite_everywhere(self, rng):
+        # guidance path differentiates rotmat_to_aa; check no NaN grads
+        aa = np.concatenate([random_rotvecs(rng, 8), np.zeros((1, 3), np.float32)])
+
+        def loss(a):
+            return jnp.sum(rotmat_to_aa(aa_to_rotmat(a)) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(aa))
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestQuat:
+    def test_quat_rotmat_vs_scipy(self, rng):
+        aa = random_rotvecs(rng)
+        q_scipy = R.from_rotvec(aa).as_quat()  # xyzw
+        q_wxyz = np.concatenate([q_scipy[:, 3:], q_scipy[:, :3]], axis=-1).astype(np.float32)
+        got = np.asarray(quat_to_rotmat(jnp.asarray(q_wxyz)))
+        np.testing.assert_allclose(got, R.from_rotvec(aa).as_matrix(), atol=1e-5)
+
+    def test_rotmat_to_quat_roundtrip(self, rng):
+        aa = random_rotvecs(rng)
+        m = R.from_rotvec(aa).as_matrix().astype(np.float32)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(m)))
+        m2 = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+        np.testing.assert_allclose(m2, m, atol=1e-4)
+
+    def test_aa_quat_roundtrip(self, rng):
+        aa = random_rotvecs(rng)
+        back = np.asarray(quat_to_aa(aa_to_quat(jnp.asarray(aa))))
+        np.testing.assert_allclose(back, aa, atol=1e-4)
+
+    def test_qmul_qinv_identity(self, rng):
+        aa = random_rotvecs(rng)
+        q = aa_to_quat(jnp.asarray(aa))
+        ident = np.asarray(qmul(q, qinv(q)))
+        want = np.tile(np.array([1.0, 0, 0, 0], np.float32), (len(aa), 1))
+        np.testing.assert_allclose(ident, want, atol=1e-5)
+
+    def test_qrot_matches_matrix(self, rng):
+        aa = random_rotvecs(rng)
+        v = rng.normal(size=(len(aa), 3)).astype(np.float32)
+        q = aa_to_quat(jnp.asarray(aa))
+        got = np.asarray(qrot(q, jnp.asarray(v)))
+        want = np.einsum("nij,nj->ni", R.from_rotvec(aa).as_matrix(), v)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_qbetween(self, rng):
+        v0 = rng.normal(size=(32, 3)).astype(np.float32)
+        v1 = rng.normal(size=(32, 3)).astype(np.float32)
+        q = qbetween(jnp.asarray(v0), jnp.asarray(v1))
+        rotated = np.asarray(qrot(q, jnp.asarray(v0)))
+        # direction should align with v1
+        cos = np.sum(rotated * v1, -1) / (
+            np.linalg.norm(rotated, axis=-1) * np.linalg.norm(v1, axis=-1)
+        )
+        np.testing.assert_allclose(cos, 1.0, atol=1e-4)
+
+
+class TestRot6d:
+    def test_roundtrip(self, rng):
+        aa = random_rotvecs(rng)
+        m = R.from_rotvec(aa).as_matrix().astype(np.float32)
+        six = rotmat_to_rot6d(jnp.asarray(m))
+        back = np.asarray(rot6d_to_rotmat(six))
+        np.testing.assert_allclose(back, m, atol=1e-5)
+
+    def test_layout_matches_reference(self, rng):
+        # reference: smplx_rot_6d = rotmat[..., :-1].reshape(-1, 6)
+        m = R.from_rotvec(random_rotvecs(rng, 4)).as_matrix().astype(np.float32)
+        want = m[..., :-1].reshape(-1, 6)
+        got = np.asarray(rotmat_to_rot6d(jnp.asarray(m)))
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_gram_schmidt_on_noisy_input(self, rng):
+        six = rng.normal(size=(64, 6)).astype(np.float32)
+        m = np.asarray(rot6d_to_rotmat(jnp.asarray(six)))
+        # valid rotations: orthonormal, det +1
+        ident = np.einsum("nij,nkj->nik", m, m)
+        np.testing.assert_allclose(ident, np.broadcast_to(np.eye(3), m.shape), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-5)
+
+
+class TestAngularVelocity:
+    def test_constant_spin(self):
+        # spin about z at w rad/frame: w_vec ~= (0, 0, w)
+        w = 0.12
+        t = np.arange(10, dtype=np.float32)
+        aa = np.stack([np.zeros_like(t), np.zeros_like(t), w * t], axis=-1)
+        mats = R.from_rotvec(aa).as_matrix().astype(np.float32)
+        drdt = mats[1:] - mats[:-1]
+        got = np.asarray(skew_angular_velocity(jnp.asarray(mats[:-1]), jnp.asarray(drdt)))
+        np.testing.assert_allclose(got[:, 2], w, atol=1e-3)
+        np.testing.assert_allclose(got[:, :2], 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (2, 3, 4)])
+def test_batch_shapes(shape, rng):
+    aa = rng.normal(size=shape + (3,)).astype(np.float32) * 0.5
+    m = aa_to_rotmat(jnp.asarray(aa))
+    assert m.shape == shape + (3, 3)
+    assert rotmat_to_aa(m).shape == shape + (3,)
+    assert rotmat_to_quat(m).shape == shape + (4,)
+    assert rotmat_to_rot6d(m).shape == shape + (6,)
