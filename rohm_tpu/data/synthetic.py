@@ -1,0 +1,79 @@
+"""Deterministic synthetic motion sequences for tests and benchmarks.
+
+Real AMASS/PROX/EgoBody data and SMPL-X weights are not shipped with this
+environment; these generators produce kinematically-consistent sequences
+(params + FK joints from the same body model) so every pipeline stage runs
+with realistic shapes and dynamics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from rohm_tpu.body import SmplxModel, forward_joints
+
+
+def synthetic_motion(
+    model: SmplxModel,
+    num_frames: int = 145,
+    seed: int = 0,
+    walk_speed: float = 0.02,
+) -> tuple[np.ndarray, dict]:
+    """Generate one smooth motion clip.
+
+    Returns (positions [T, 22, 3] z-up world joints, smplx_params dict with
+    global_orient [T,3] / transl [T,3] / body_pose [T,63] / betas [T,10]).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames)[:, None]
+
+    # smooth body pose: sum of low-frequency sinusoids per dof
+    freqs = rng.uniform(0.02, 0.12, size=(1, 63))
+    phases = rng.uniform(0, 2 * np.pi, size=(1, 63))
+    amps = rng.uniform(0.05, 0.35, size=(1, 63))
+    body_pose = (amps * np.sin(2 * np.pi * freqs * t + phases)).astype(np.float64)
+
+    # heading slowly turning about z (z-up world), slight tilt wobble
+    heading = 0.5 * np.sin(2 * np.pi * 0.01 * t[:, 0]) + rng.uniform(-np.pi, np.pi)
+    tilt = 0.05 * np.sin(2 * np.pi * 0.03 * t[:, 0])
+    global_orient = np.stack(
+        [np.full(num_frames, np.pi / 2) + tilt, np.zeros(num_frames), heading], axis=-1
+    )
+
+    # walking path in xy, height bobbing
+    step = walk_speed * np.stack([np.cos(heading), np.sin(heading)], axis=-1)
+    xy = np.cumsum(step, axis=0) + rng.normal(scale=1.0, size=(1, 2))
+    z = 0.95 + 0.02 * np.sin(2 * np.pi * 0.07 * t[:, 0])
+    transl = np.concatenate([xy, z[:, None]], axis=-1)
+
+    betas = np.tile(rng.normal(scale=0.5, size=(1, 10)), (num_frames, 1))
+
+    params = {
+        "global_orient": global_orient,
+        "transl": transl,
+        "body_pose": body_pose,
+        "betas": betas,
+    }
+    positions = np.asarray(
+        forward_joints(
+            model,
+            jnp.asarray(betas, jnp.float32),
+            jnp.asarray(global_orient, jnp.float32),
+            jnp.asarray(body_pose, jnp.float32),
+            jnp.asarray(transl, jnp.float32),
+        )
+    ).astype(np.float64)
+    return positions, params
+
+
+def synthetic_clip_batch(
+    model: SmplxModel, batch_size: int = 4, num_frames: int = 145, seed: int = 0
+) -> tuple[np.ndarray, dict]:
+    """Batch of clips: (positions [B, T, 22, 3], params dict of [B, T, ...])."""
+    outs = [synthetic_motion(model, num_frames, seed + i) for i in range(batch_size)]
+    positions = np.stack([o[0] for o in outs])
+    params = {
+        k: np.stack([o[1][k] for o in outs]) for k in outs[0][1].keys()
+    }
+    return positions, params
