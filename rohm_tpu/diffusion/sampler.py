@@ -1,0 +1,115 @@
+"""The reverse diffusion process as a single `lax.scan` — the hot loop.
+
+Replaces the reference's python for-loop over t
+(gaussian_diffusion_*.py:559-627) plus the guidance branches of
+GaussianDiffusionPoseNet.p_sample_with_grad (:445-480). One compiled program
+runs all T steps on device: no per-step dispatch, no host sync, PRNG key
+threaded through the carry.
+
+Guidance: each `GuidanceSpec` contributes
+    mean += weight * posterior_variance[t] * (-grad loss(pred_x0))
+when t <= t_threshold, computed via `jax.grad` of a pure loss function and
+gated with `lax.cond` so the (expensive) SMPL-X backward only runs on the
+guided tail of the chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from rohm_tpu.diffusion.gaussian import p_mean_from_x0
+from rohm_tpu.diffusion.schedule import DiffusionSchedule
+
+
+@dataclass(frozen=True)
+class GuidanceSpec:
+    """One test-time guidance term.
+
+    loss_fn(x [*shape]) -> scalar; differentiated wrt the model's pred_x0.
+    grad_mask zeroes protected dims (traj + contact labels in RoHM,
+    reference model/posenet.py:251-252); weight/t_threshold per
+    gaussian_diffusion_posenet.py:461-477 ('amass': skating 3e6 @ t<=50,
+    'prox': 2d-reproj 3e5 + skating 1e5 @ t<=100).
+    """
+
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray]
+    weight: float
+    t_threshold: int
+    grad_mask: jnp.ndarray | None = None
+
+
+def p_sample_loop(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: DiffusionSchedule,
+    shape: tuple,
+    key: jax.Array,
+    noise: jnp.ndarray | None = None,
+    guidance: tuple[GuidanceSpec, ...] = (),
+    early_stop_steps: int = 0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Run the full reverse chain.
+
+    Args:
+      model_fn(x_t, t_scalar) -> pred_x0, where t is the (respacing-mapped)
+        original timestep as an int32 scalar.
+      shape: static sample shape (B, T, D).
+      key: PRNG key; per-step noise derives from fold_in(key, t).
+      noise: optional fixed x_T (else sampled from N(0, I)).
+      guidance: guidance terms (see GuidanceSpec).
+      early_stop_steps: truncate the chain this many steps before t=0 and
+        return pred_x0 instead of the stochastic sample (reference
+        early_stop=True -> 980 of 1000 steps, _posenet.py:624-626, :568-571).
+
+    Returns: final sample [B, T, D] (or final pred_x0 when early stopping).
+    """
+    num_steps = sched.num_timesteps - int(early_stop_steps > 0) * early_stop_steps
+    timesteps = jnp.arange(sched.num_timesteps - 1, sched.num_timesteps - 1 - num_steps, -1)
+
+    if noise is None:
+        # step keys are fold_in(key, t) for t < num_timesteps; this one is distinct
+        nkey = jax.random.fold_in(key, sched.num_timesteps)
+        x_init = jax.random.normal(nkey, shape, dtype)
+    else:
+        x_init = noise
+
+    def guidance_shift(pred_x0, t, var):
+        shift = jnp.zeros_like(pred_x0)
+        for spec in guidance:
+            def apply(x0, s=spec):
+                g = -jax.grad(s.loss_fn)(x0)
+                if s.grad_mask is not None:
+                    g = g * s.grad_mask
+                return s.weight * var * g
+
+            shift = shift + jax.lax.cond(
+                t <= spec.t_threshold,
+                apply,
+                lambda x0: jnp.zeros_like(x0),
+                pred_x0,
+            )
+        return shift
+
+    def step(carry, t):
+        x, _ = carry
+        t_model = sched.timestep_map[t]
+        pred_x0 = model_fn(x, t_model)
+        mean, var, log_var = p_mean_from_x0(sched, pred_x0, x, t)
+        if guidance:
+            mean = mean + guidance_shift(pred_x0, t, var)
+        step_key = jax.random.fold_in(key, t)
+        noise_t = jax.random.normal(step_key, shape, dtype)
+        nonzero = (t != 0).astype(dtype)
+        x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise_t
+        # carry (not stack) the newest pred_x0 — stacking 1000 steps of
+        # [B, T, 294] would not fit in HBM
+        return (x_next, pred_x0), None
+
+    (x_final, pred_x0_last), _ = jax.lax.scan(step, (x_init, x_init), timesteps)
+    if early_stop_steps > 0:
+        return pred_x0_last
+    return x_final
