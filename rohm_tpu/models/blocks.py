@@ -1,0 +1,147 @@
+"""Shared NN blocks (reference model/heads.py), Flax edition, NWC layout.
+
+Structural parity notes:
+- Conv1dBlock = Conv(k, SAME) -> GroupNorm(8) -> Mish (heads.py:90-106)
+- ResidualTemporalBlock = 2x Conv1dBlock + mid-injected time MLP + 1x1
+  residual conv (heads.py:20-54)
+- Downsample1d = stride-2 conv k=3; Upsample1d = stride-2 transposed conv k=4
+  (heads.py:72-87)
+- SinusoidalPosEmb (heads.py:57-69); PositionalEncoding / TimestepEmbedder
+  (heads.py:112-147)
+- zero-initialized 1x1 convs for the ControlNet branch (heads.py:12-18)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(nn.softplus(x))
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Diffuser-style timestep embedding: t [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) / (half - 1) * jnp.arange(half))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def transformer_pe_table(max_len: int, d_model: int) -> np.ndarray:
+    """Classic sin/cos interleaved positional table [max_len, d_model]."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe.astype(np.float32)
+
+
+class Conv1dBlock(nn.Module):
+    """Conv1d(k, SAME) -> GroupNorm(8) -> Mish, on [B, T, C]."""
+
+    features: int
+    kernel_size: int = 5
+    n_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel_size,), padding="SAME")(x)
+        x = nn.GroupNorm(num_groups=self.n_groups)(x)
+        return mish(x)
+
+
+class ResidualTemporalBlock(nn.Module):
+    """Two Conv1dBlocks with a timestep embedding injected between them."""
+
+    features: int
+    input_t: bool = True
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_embed: jnp.ndarray | None) -> jnp.ndarray:
+        out = Conv1dBlock(self.features, self.kernel_size)(x)
+        if self.input_t:
+            assert t_embed is not None
+            h = nn.Dense(self.features)(mish(t_embed))  # [B, C]
+            out = out + h[:, None, :]
+        out = Conv1dBlock(self.features, self.kernel_size)(out)
+        if x.shape[-1] != self.features:
+            res = nn.Conv(self.features, (1,))(x)
+        else:
+            res = x
+        return out + res
+
+
+class Downsample1d(nn.Module):
+    """Stride-2 conv, keeps channel count; T -> ceil(T/2)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(x.shape[-1], (3,), strides=(2,), padding="SAME")(x)
+
+
+class Upsample1d(nn.Module):
+    """Stride-2 transposed conv, keeps channel count; T -> 2T."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.ConvTranspose(x.shape[-1], (4,), strides=(2,), padding="SAME")(x)
+
+
+class ZeroConv1x1(nn.Module):
+    """1x1 conv with zero-initialized weights (ControlNet residual taps)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            (1,),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class TimeMlp(nn.Module):
+    """Sinusoidal embedding -> Linear(4x) -> Mish -> Linear (trajnet.py:120-125)."""
+
+    time_dim: int = 32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        h = sinusoidal_pos_emb(t, self.time_dim)
+        h = nn.Dense(self.time_dim * 4)(h)
+        h = mish(h)
+        return nn.Dense(self.time_dim)(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer (PyTorch default norm placement, activation gelu)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(x, x)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        x = nn.LayerNorm()(x + attn)
+
+        h = nn.Dense(self.ff_size)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.LayerNorm()(x + h)
