@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: denoise steps/sec/chip on the flagship PoseNet sampling chain.
+
+Runs the production-size PoseNet (512-dim, 8 layers) full reverse diffusion
+(1000 steps, one lax.scan) at batch 32 x T=143 x 294 — the exact shape the
+test_amass_full pipeline uses — and reports compiled-steady-state denoise
+steps/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / REF_A100_STEPS_PER_SEC, a documented estimate of the
+reference PyTorch per-step sampling rate on A100 at the same shape (the
+reference publishes no numbers; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Estimated reference throughput: PyTorch eager p_sample loop, PoseNet
+# transformer (8L/512d/T=144/bs=32) on A100 — ~200 denoise steps/sec
+# (per-step host dispatch + forward; see BASELINE.md north-star section).
+REF_A100_STEPS_PER_SEC = 200.0
+
+BATCH = 32
+T = 143
+STEPS = 1000
+
+
+def main():
+    from rohm_tpu.diffusion import make_schedule, p_sample_loop
+    from rohm_tpu.models import PoseNet
+
+    model = PoseNet()
+    x = jnp.zeros((BATCH, T, 294), jnp.float32)
+    cond = jnp.zeros((BATCH, T, 294), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))
+    sched = make_schedule("cosine", STEPS)
+
+    @jax.jit
+    def sample(key):
+        def model_fn(xt, t):
+            return model.apply(params, xt, cond, t)
+
+        return p_sample_loop(model_fn, sched, (BATCH, T, 294), key)
+
+    # compile + warmup
+    sample(jax.random.PRNGKey(1)).block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        sample(jax.random.PRNGKey(2 + i)).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 2),
+                "unit": f"steps/s (PoseNet 512d x8L, bs={BATCH}, T={T})",
+                "vs_baseline": round(steps_per_sec / REF_A100_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,8 @@ def forward_joints(
     body_pose: jnp.ndarray,
     transl: jnp.ndarray,
     num_joints: int = NUM_BODY_JOINTS,
+    global_orient_mat: jnp.ndarray | None = None,
+    body_pose_mat: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Posed skeleton joints [..., num_joints, 3] — the RoHM hot path.
 
@@ -225,12 +227,24 @@ def forward_joints(
     num_joints <= 55 with hands/face zeroed: SMPL-X skeleton joints are
     regressed from the *shaped* (not posed) template, so no vertex skinning is
     required (verified against reference semantics, see tests/test_body.py).
+
+    Pass global_orient_mat [..., 3, 3] / body_pose_mat [..., 21, 3, 3] to skip
+    the axis-angle conversion (used by the repr decode path, where rotations
+    already live as rot6d-derived matrices).
     """
     joints_rest = model.j_template + jnp.einsum(
         "...k,jck->...jc", betas, model.j_shapedirs
     )  # [..., 55, 3]
     joints_rest = joints_rest[..., :num_joints, :]
-    rots = _full_pose_rotmats(global_orient, body_pose, num_joints)
+    if global_orient_mat is not None and body_pose_mat is not None:
+        rots = jnp.concatenate([global_orient_mat[..., None, :, :], body_pose_mat], axis=-3)
+        if num_joints > 22:
+            eye = jnp.broadcast_to(
+                jnp.eye(3, dtype=rots.dtype), rots.shape[:-3] + (num_joints - 22, 3, 3)
+            )
+            rots = jnp.concatenate([rots, eye], axis=-3)
+    else:
+        rots = _full_pose_rotmats(global_orient, body_pose, num_joints)
     posed, _ = _rigid_transform(rots, joints_rest, model.parents[:num_joints])
     return posed + transl[..., None, :]
 

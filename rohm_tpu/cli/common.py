@@ -1,0 +1,144 @@
+"""Shared CLI plumbing: body-model resolution, dataset lists, model builders,
+checkpoint load/bootstrap. Mirrors reference entry-script behavior
+(train_trajnet.py:82-194, test_amass_full.py:77-188)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rohm_tpu.body import SmplxModel, load_smplx_npz, synthetic_model
+from rohm_tpu.models import PoseNet, TrajNet
+
+log = logging.getLogger("rohm_tpu.cli")
+
+# reference train_trajnet.py:86-92
+AMASS_TRAIN_DATASETS = [
+    "HumanEva", "HDM05", "MoSh", "Transitions", "ACCAD", "BMLhandball",
+    "BMLmovi", "BMLrub", "CMU", "DFaust", "Eyes_Japan_Dataset", "PosePrior",
+    "SSM", "GRAB", "SOMA",
+]
+AMASS_TEST_DATASETS = ["TCDHands", "TotalCapture", "SFU"]
+
+
+def resolve_body_model(body_model_path: str, gender: str = "neutral") -> SmplxModel:
+    """Load SMPL-X weights if present, else fall back to the synthetic test
+    model (real SMPL-X weights are license-gated and may be absent)."""
+    candidates = [
+        body_model_path,
+        os.path.join(body_model_path, f"SMPLX_{gender.upper()}.npz"),
+        os.path.join(body_model_path, "smplx", f"SMPLX_{gender.upper()}.npz"),
+    ]
+    for c in candidates:
+        if os.path.isfile(c) and c.endswith(".npz"):
+            log.info("loading SMPL-X model from %s", c)
+            return load_smplx_npz(c)
+    log.warning(
+        "SMPL-X weights not found under %s — using the synthetic body model "
+        "(shapes/kinematics identical; joint outputs are NOT SMPL-X-accurate)",
+        body_model_path,
+    )
+    return synthetic_model()
+
+
+def build_trajnet(args, traj_feat_dim: int, trajcontrol: bool = False) -> TrajNet:
+    """Hyperparameters as constructed by the reference entry scripts
+    (train_trajnet.py:128-142: time_dim=32, mid_dim=512)."""
+    return TrajNet(
+        traj_feat_dim=traj_feat_dim,
+        cond_dim=traj_feat_dim,
+        mid_dim=getattr(args, "mid_dim", None) or 512,
+        time_dim=32,
+        trajcontrol=trajcontrol,
+    )
+
+
+def build_posenet(args) -> PoseNet:
+    """Reference train_posenet.py:116-128: latent 512, ff 1024, 8 layers, 4 heads."""
+    return PoseNet(
+        latent_dim=getattr(args, "latent_dim", None) or 512,
+        ff_size=1024,
+        num_layers=8,
+        num_heads=4,
+        dropout=0.1,
+    )
+
+
+def init_trajnet_params(model: TrajNet, clip_len: int, seed: int = 0):
+    t = clip_len - 1
+    d = model.traj_feat_dim
+    kwargs = {}
+    if model.trajcontrol:
+        kwargs["control_cond"] = jnp.zeros((1, t, model.control_cond_dim))
+    return model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, t, d)), jnp.zeros((1, t, model.cond_dim)),
+        jnp.zeros((1,), jnp.int32), **kwargs,
+    )
+
+
+def init_posenet_params(model: PoseNet, clip_len: int, seed: int = 0):
+    t = clip_len - 1
+    return model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, t, model.body_feat_dim)),
+        jnp.zeros((1, t, model.body_feat_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )
+
+
+def bootstrap_trajcontrol(params_control, params_backbone):
+    """Copy the pretrained U-Net into a trajcontrol model's params: backbone
+    weights verbatim, plus the diffusion encoder + mid blocks duplicated into
+    the ControlNet branch (reference train_trajnet.py:149-164). Zero convs
+    stay zero-initialized.
+
+    Flax naming (call order in TrajNet.__call__): ResidualTemporalBlock_0..3 =
+    encoder, _4.._5 = mid, Downsample1d_0..3 = encoder downsamples — the same
+    indices the ControlNet branch uses for its copies.
+    """
+    import flax
+
+    flat_c = flax.traverse_util.flatten_dict(params_control)
+    flat_b = flax.traverse_util.flatten_dict(params_backbone)
+
+    out = dict(flat_c)
+    for key, val in flat_b.items():
+        if key in out:
+            out[key] = val  # backbone weights (cond enc, unet, time mlp, final)
+    # encoder + mid copies into the ControlNet scope
+    for key, val in flat_b.items():
+        name = key[1]  # ('params', 'ResidualTemporalBlock_0', ...)
+        if name.startswith("ResidualTemporalBlock_"):
+            idx = int(name.split("_")[-1])
+            if idx <= 5:  # enc1-4 + mid1-2
+                ckey = (key[0], "ControlNet_0", name) + key[2:]
+                if ckey in out:
+                    out[ckey] = val
+        elif name.startswith("Downsample1d_"):
+            idx = int(name.split("_")[-1])
+            if idx <= 3:
+                ckey = (key[0], "ControlNet_0", name) + key[2:]
+                if ckey in out:
+                    out[ckey] = val
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def load_pretrained(params_like, path: str):
+    """Load an orbax checkpoint (or a torch->jax converted .npz) into params."""
+    from rohm_tpu.train.checkpoint import load_params_into
+
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        import flax
+
+        like_flat = flax.traverse_util.flatten_dict(params_like, sep="/")
+        out = {}
+        for k, v in like_flat.items():
+            out[k] = flat[k] if k in flat else v
+        return flax.traverse_util.unflatten_dict(out, sep="/")
+    return load_params_into(params_like, path)

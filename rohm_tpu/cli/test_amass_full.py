@@ -1,0 +1,271 @@
+"""test_amass_full — full RoHM pipeline on AMASS (TrajNet + TrajControl +
+PoseNet, iterative, guided).
+
+CLI/YAML surface mirrors reference test_amass_full.py:20-73; the result pickle
+has the same keys and config-encoded filename (:443-466). The pipeline itself
+(rohm_tpu/pipeline.py) runs both inference iterations as one XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rohm_tpu.cli.common import (
+    AMASS_TEST_DATASETS,
+    build_posenet,
+    build_trajnet,
+    init_posenet_params,
+    init_trajnet_params,
+    load_pretrained,
+    resolve_body_model,
+)
+from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
+from rohm_tpu.diffusion import make_schedule
+from rohm_tpu.pipeline import RohmPipeline, amass_eval_pose_mask
+from rohm_tpu.reprs import recover_from_repr, split_repr
+from rohm_tpu.reprs.schema import REPR_DIM_DICT, REPR_LIST, TRAJ_FEAT_DIM_FULL
+from rohm_tpu.reprs.stats import load_stats
+from rohm_tpu.utils import ConfigParser
+
+
+def build_parser() -> ConfigParser:
+    p = ConfigParser("RoHM-TPU full AMASS test")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--diffusion_steps_posenet", type=int, default=1000)
+    p.add_argument("--diffusion_steps_trajnet", type=int, default=100)
+    p.add_argument("--noise_schedule", type=str, default="cosine")
+    p.add_argument("--timestep_respacing_eval", type=str, default="")
+    p.add_argument("--sigma_small", type=bool, default=True)
+    p.add_argument("--body_model_path", type=str, default="data/body_models/smplx_model")
+    p.add_argument("--dataset_root", type=str, default="datasets/AMASS_smplx_preprocessed")
+    p.add_argument("--clip_len", type=int, default=145)
+    p.add_argument("--repr_abs_only", type=bool, default=True)
+    p.add_argument("--model_path_trajnet", type=str, default="")
+    p.add_argument("--model_path_trajnet_control", type=str, default="")
+    p.add_argument("--model_path_posenet", type=str, default="")
+    p.add_argument("--input_noise", type=bool, default=True)
+    p.add_argument("--noise_std_smplx_global_rot", type=float, default=3)
+    p.add_argument("--noise_std_smplx_body_rot", type=float, default=3)
+    p.add_argument("--noise_std_smplx_trans", type=float, default=0.03)
+    p.add_argument("--noise_std_smplx_betas", type=float, default=0.1)
+    p.add_argument("--load_noise", type=bool, default=True)
+    p.add_argument("--load_noise_level", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--cond_fn_with_grad", type=bool, default=True)
+    p.add_argument("--infill_traj", type=bool, default=False)
+    p.add_argument("--traj_mask_ratio", type=float, default=0.1)
+    p.add_argument("--mask_scheme", type=str, default="full")
+    p.add_argument("--save_root", type=str, default="test_results/results_amass_full")
+    p.add_argument("--sample_iter", type=int, default=2)
+    p.add_argument("--iter2_cond_noisy_traj", type=bool, default=True)
+    p.add_argument("--iter2_cond_noisy_pose", type=bool, default=True)
+    p.add_argument("--early_stop", type=bool, default=False)
+    # TPU-build extensions
+    p.add_argument("--synthetic_data", type=bool, default=False)
+    p.add_argument("--mid_dim", type=int, default=512)
+    p.add_argument("--latent_dim", type=int, default=512)
+    p.add_argument("--max_batches", type=int, default=0)
+    return p
+
+
+def _load_or_init(model, init_fn, path, clip_len, seed=0):
+    params = init_fn(model, clip_len, seed)
+    if path and os.path.exists(path):
+        params = load_pretrained(params, path)
+    return params
+
+
+def decode_joints(repr_dn: np.ndarray, body, mode: str, return_verts: bool = False):
+    d = split_repr(jnp.asarray(repr_dn))
+    return recover_from_repr(d, mode=mode, body_model=body, return_verts=return_verts)
+
+
+def result_filename(args) -> str:
+    """Config-encoded pickle name, identical to reference test_amass_full.py:455-462."""
+    name = f"test_amass_full_grad_{args.cond_fn_with_grad}_mask_{args.mask_scheme}"
+    if args.input_noise and args.load_noise:
+        name += f"_noise_{args.load_noise_level}"
+    if args.infill_traj:
+        name += f"_infill_traj_{args.traj_mask_ratio}"
+    name += (
+        f"_iter_{args.sample_iter}_iter2trajnoisy_{args.iter2_cond_noisy_traj}"
+        f"_iter2posenoisy_{args.iter2_cond_noisy_pose}_earlystop_{args.early_stop}"
+        f"_seed_{args.seed}.pkl"
+    )
+    return name
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    rng = np.random.default_rng(args.seed)
+    body = resolve_body_model(args.body_model_path)
+
+    if args.synthetic_data and not os.path.isdir(
+        os.path.join(args.dataset_root, "pose_data_fps_30")
+    ):
+        write_synthetic_amass(
+            args.dataset_root, body,
+            datasets={name: 1 for name in AMASS_TEST_DATASETS},
+            seq_len=args.clip_len + 4,
+        )
+
+    loaded_noise = None
+    if args.load_noise:
+        noise_path = os.path.join(
+            "data", "eval_noise_smplx", f"smplx_noise_level_{args.load_noise_level}.pkl"
+        )
+        if os.path.exists(noise_path):
+            loaded_noise = load_noise_dict(noise_path)
+        else:
+            print(f"[WARN] preset noise pkl not found at {noise_path}; sampling fresh noise")
+            args.load_noise = False
+
+    # stats travel with the PoseNet checkpoint (reference test_amass_full.py:91-92)
+    stats_dir = os.path.dirname(args.model_path_posenet) if args.model_path_posenet else None
+    if not (stats_dir and os.path.exists(os.path.join(stats_dir, "AMASS_mean.pkl"))):
+        stats_dir = None
+
+    noise_kw = dict(
+        input_noise=args.input_noise,
+        noise_std_smplx_global_rot=args.noise_std_smplx_global_rot,
+        noise_std_smplx_body_rot=args.noise_std_smplx_body_rot,
+        noise_std_smplx_trans=args.noise_std_smplx_trans,
+        noise_std_smplx_betas=args.noise_std_smplx_betas,
+        load_noise=args.load_noise,
+        loaded_smplx_noise_dict=loaded_noise,
+    )
+    common_kw = dict(
+        body_model=body, preprocessed_amass_root=args.dataset_root,
+        amass_datasets=AMASS_TEST_DATASETS, clip_len=args.clip_len, seed=args.seed,
+    )
+    # twin views of the same data (reference test_amass_full.py:93-127)
+    if stats_dir is None:
+        # no trained stats available: compute them from this data (synthetic runs)
+        ds_stats = AmassClipDataset(split="train", task="pose", logdir=None, **common_kw, **noise_kw)
+        mean, std = ds_stats.mean, ds_stats.std
+        import tempfile
+
+        stats_dir = tempfile.mkdtemp(prefix="rohm_stats_")
+        from rohm_tpu.reprs.stats import save_stats
+
+        save_stats(stats_dir, mean, std)
+    test_pose_dataset = AmassClipDataset(
+        split="test", task="pose", repr_abs_only=False, logdir=stats_dir, **common_kw, **noise_kw
+    )
+    test_traj_dataset = AmassClipDataset(
+        split="test", task="traj", repr_abs_only=args.repr_abs_only, logdir=stats_dir,
+        **common_kw, **noise_kw,
+    )
+    mean, std = test_pose_dataset.mean, test_pose_dataset.std
+    traj_feat_dim = test_traj_dataset.traj_feat_dim
+
+    model_trajnet = build_trajnet(args, traj_feat_dim, False)
+    model_trajcontrol = build_trajnet(args, traj_feat_dim, True)
+    model_posenet = build_posenet(args)
+    params_trajnet = _load_or_init(model_trajnet, init_trajnet_params, args.model_path_trajnet, args.clip_len)
+    params_trajcontrol = _load_or_init(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, args.clip_len)
+    params_posenet = _load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, args.clip_len)
+
+    pipeline = RohmPipeline(
+        trajnet=model_trajnet, trajnet_params=params_trajnet,
+        trajcontrol=model_trajcontrol, trajcontrol_params=params_trajcontrol,
+        posenet=model_posenet, posenet_params=params_posenet,
+        sched_traj=make_schedule(args.noise_schedule, args.diffusion_steps_trajnet, args.timestep_respacing_eval),
+        sched_pose=make_schedule(args.noise_schedule, args.diffusion_steps_posenet, args.timestep_respacing_eval),
+        body_model=body, mean=jnp.asarray(mean), std=jnp.asarray(std),
+        repr_abs_only=args.repr_abs_only, traj_feat_dim=traj_feat_dim,
+        sample_iter=args.sample_iter, early_stop=args.early_stop,
+        grad_type="amass" if args.cond_fn_with_grad else None,
+        mask_scheme=args.mask_scheme, input_noise=args.input_noise,
+        iter2_cond_noisy_pose=args.iter2_cond_noisy_pose,
+        iter2_cond_noisy_traj=args.iter2_cond_noisy_traj,
+    )
+
+    out = {
+        "rec_ric_data_clean_list": [], "rec_ric_data_noisy_list": [],
+        "rec_ric_data_rec_list_from_abs_traj": [], "rec_ric_data_rec_list_from_smpl": [],
+        "motion_repr_clean_list": [], "motion_repr_noisy_list": [], "motion_repr_rec_list": [],
+    }
+    key = jax.random.PRNGKey(args.seed)
+    t_repr = args.clip_len - 1  # 144
+    mask_len = int(args.traj_mask_ratio * 145)
+
+    pose_batches = test_pose_dataset.batches(args.batch_size, shuffle=False, drop_last=False)
+    traj_batches = test_traj_dataset.batches(args.batch_size, shuffle=False, drop_last=False)
+    for step, (bp, bt) in enumerate(zip(pose_batches, traj_batches)):
+        if args.max_batches and step >= args.max_batches:
+            break
+        bs = bp["motion_repr_clean"].shape[0]
+        traj_cond = bt["cond"].copy()
+
+        traj_mask = np.ones((bs, t_repr), np.float32)
+        if args.infill_traj:
+            start = np.full(bs, 65)
+            end = np.minimum(start + mask_len, t_repr)
+            t_idx = np.arange(t_repr)
+            inside = (t_idx[None] >= start[:, None]) & (t_idx[None] < end[:, None])
+            traj_mask = (~inside).astype(np.float32)
+            traj_cond = traj_cond * traj_mask[..., None]
+
+        pose_mask = amass_eval_pose_mask(
+            args.mask_scheme, bs, t_repr - 1,
+            window_start=np.full(bs, 65) if args.infill_traj else None,
+            window_len=mask_len if args.infill_traj else 30,
+            rng=None if args.infill_traj else rng,
+        )
+
+        key, sub = jax.random.split(key)
+        val_pose, _ = pipeline.run_batch(
+            traj_cond, bt["motion_repr_clean"], bp["motion_repr_noisy"],
+            pose_mask, traj_mask, sub,
+        )
+        val_pose = np.asarray(val_pose)  # [bs, 143, 294] normalized
+
+        # decode + denormalize for the result pickle (reference :386-441)
+        motion_repr_clean = bp["motion_repr_clean"][:, : t_repr - 1] * std + mean
+        motion_repr_rec = val_pose * std + mean
+        out["motion_repr_clean_list"].append(motion_repr_clean)
+        out["motion_repr_rec_list"].append(motion_repr_rec)
+        out["rec_ric_data_clean_list"].append(
+            np.asarray(decode_joints(motion_repr_clean, body, "smplx_params"))
+        )
+        out["rec_ric_data_rec_list_from_abs_traj"].append(
+            np.asarray(decode_joints(motion_repr_rec, body, "joint_abs_traj"))
+        )
+        out["rec_ric_data_rec_list_from_smpl"].append(
+            np.asarray(decode_joints(motion_repr_rec, body, "smplx_params"))
+        )
+        if args.input_noise:
+            noisy = bp["motion_repr_noisy"].copy()
+            noisy[:, :, :TRAJ_FEAT_DIM_FULL] = bt["motion_repr_noisy"][:, :, :TRAJ_FEAT_DIM_FULL]
+            noisy = noisy[:, : t_repr - 1] * std + mean
+            out["motion_repr_noisy_list"].append(noisy)
+            out["rec_ric_data_noisy_list"].append(
+                np.asarray(decode_joints(noisy, body, "smplx_params"))
+            )
+        print(f"[test_amass_full] batch {step}: done")
+
+    os.makedirs(args.save_root, exist_ok=True)
+    save_data = {
+        "mask_scheme": args.mask_scheme,
+        "repr_name_list": REPR_LIST,
+        "repr_dim_dict": REPR_DIM_DICT,
+    }
+    for k, v in out.items():
+        if v:
+            save_data[k] = np.concatenate(v, axis=0)
+    pkl_path = os.path.join(args.save_root, result_filename(args))
+    with open(pkl_path, "wb") as f:
+        pickle.dump(save_data, f, protocol=2)
+    print(f"results saved to {pkl_path}")
+    return pkl_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,368 @@
+"""AMASS clip dataset: preprocessed npys -> normalized 294-d repr clips.
+
+Behavioral parity target: reference data_loaders/dataloader_amass.py:11-341.
+TPU-first redesign of the reference's per-clip python loop ("HOT PREPROCESS
+LOOP", see SURVEY.md 3.1): noise synthesis is batched through scipy in one
+call, the noisy-joint FK and the repr encoding each run as a single chunked
+JAX call over all clips, and the per-epoch batch stream is served from packed
+fixed-shape numpy arrays (no per-item collation).
+
+Emitted item dict matches the reference __getitem__ (dataloader_amass.py:285-341):
+  motion_repr_clean [144, 294] normalized
+  motion_repr_noisy [144, 294] normalized (pose task: traj dims from clean)
+  noisy_joints      [145, 22, 3] (only when input_noise)
+  cond              [144, 13|22] (traj task only: noisy traj)
+  control_cond      [144, 272]   (traj task only: clean local pose feats)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as R
+
+from rohm_tpu.body import SmplxModel, forward_joints
+from rohm_tpu.data.clips import divide_into_clips
+from rohm_tpu.reprs import cano_seq_smplx, get_repr
+from rohm_tpu.reprs.schema import (
+    TRAJ_FEAT_DIM_FULL,
+    gather_traj_abs,
+)
+from rohm_tpu.reprs.stats import compute_stats, load_stats, save_stats
+
+PARAM_NAMES = ("global_orient", "transl", "body_pose", "betas")
+
+# [T, 178] params layout written by preprocessing (reference
+# preprocessing_amass.py:74, read back at dataloader_amass.py:145-149)
+_PARAM_SLICES = {
+    "global_orient": slice(0, 3),
+    "transl": slice(3, 6),
+    "betas": slice(6, 16),
+    "body_pose": slice(16, 79),
+}
+
+
+def _euler_noise_rotvec(rotvec: np.ndarray, noise_deg: np.ndarray) -> np.ndarray:
+    """Perturb axis-angle rotations by additive noise in 'zxy' Euler degrees.
+
+    rotvec [..., 3]; noise_deg [..., 3]. One batched scipy call (the reference
+    does this per clip, dataloader_amass.py:169-192).
+    """
+    shape = rotvec.shape
+    ang = R.from_rotvec(rotvec.reshape(-1, 3)).as_euler("zxy", degrees=True)
+    noisy = ang + noise_deg.reshape(-1, 3)
+    return R.from_euler("zxy", noisy, degrees=True).as_rotvec().reshape(shape)
+
+
+def _chunked_jax(fn, n: int, chunk: int, *arrays):
+    """Apply a jitted fn over leading-dim chunks and concatenate on host."""
+    outs = []
+    for s in range(0, n, chunk):
+        outs.append(np.asarray(fn(*(a[s : s + chunk] for a in arrays))))
+    return np.concatenate(outs, axis=0)
+
+
+class AmassClipDataset:
+    """Packed AMASS clip dataset (see module docstring).
+
+    Unlike the reference torch Dataset this precomputes everything into
+    [N, ...] arrays at construction; `__getitem__` only slices + normalizes.
+    """
+
+    def __init__(
+        self,
+        body_model: SmplxModel,
+        preprocessed_amass_root: str = "",
+        amass_datasets: list[str] | None = None,
+        split: str = "train",
+        spacing: int = 1,
+        repr_abs_only: bool = False,
+        input_noise: bool = False,
+        sep_noise: bool = False,
+        noise_std_joint: float = 0.0,
+        noise_std_smplx_global_rot: float = 0.0,
+        noise_std_smplx_body_rot: float = 0.0,
+        noise_std_smplx_trans: float = 0.0,
+        noise_std_smplx_betas: float = 0.0,
+        load_noise: bool = False,
+        loaded_smplx_noise_dict: dict | None = None,
+        task: str = "traj",
+        clip_len: int = 145,
+        joints_num: int = 22,
+        logdir: str | None = None,
+        seed: int = 0,
+        fk_chunk: int = 64,
+        clips: tuple[np.ndarray, np.ndarray] | None = None,
+    ):
+        assert task in ("traj", "pose"), f"bad task {task}"
+        self.split = split
+        self.task = task
+        self.clip_len = clip_len
+        self.joints_num = joints_num
+        self.repr_abs_only = repr_abs_only
+        self.input_noise = input_noise
+        self.sep_noise = sep_noise
+        self.logdir = logdir
+        self.body_model = body_model
+        self.traj_feat_dim = 13 if repr_abs_only else TRAJ_FEAT_DIM_FULL
+        self.pose_feat_dim = 272
+        self._rng = np.random.default_rng(seed)
+        self.noise_std_params = {
+            "global_orient": noise_std_smplx_global_rot,
+            "transl": noise_std_smplx_trans,
+            "body_pose": noise_std_smplx_body_rot,
+            "betas": noise_std_smplx_betas,
+        }
+        self.noise_std_joint = noise_std_joint
+
+        if clips is not None:
+            joints_clips, params_clips = clips
+        else:
+            joints_clips, params_clips = self._load_clips(
+                preprocessed_amass_root, amass_datasets or [], split, clip_len
+            )
+        joints_clips = joints_clips[::spacing]
+        params_clips = params_clips[::spacing]
+        self.n_samples = len(joints_clips)
+
+        # --- canonicalize every clip (host; cheap linear algebra per clip)
+        cano_pos = np.empty((self.n_samples, clip_len, joints_num, 3))
+        cano_params = {
+            "global_orient": np.empty((self.n_samples, clip_len, 3)),
+            "transl": np.empty((self.n_samples, clip_len, 3)),
+            "body_pose": np.empty((self.n_samples, clip_len, 63)),
+            "betas": np.empty((self.n_samples, clip_len, 10)),
+        }
+        for i in range(self.n_samples):
+            p = params_clips[i]
+            params_i = {k: np.ascontiguousarray(p[:, sl]) for k, sl in _PARAM_SLICES.items()}
+            pos_i, cp_i = cano_seq_smplx(joints_clips[i][:, :joints_num], params_i)
+            cano_pos[i] = pos_i
+            for k in PARAM_NAMES:
+                cano_params[k][i] = cp_i[k].reshape(clip_len, -1)
+        self.joints_clean = cano_pos
+        self.cano_params = cano_params
+
+        # --- noise model (batched): Euler-space rot noise + FK noisy joints
+        if input_noise and not sep_noise:
+            noisy_params, self.smplx_noise_dict = self._make_noisy_params(
+                cano_params, load_noise, loaded_smplx_noise_dict
+            )
+            self.noisy_params = noisy_params
+            fk = jax.jit(
+                lambda b, g, bp, t: forward_joints(
+                    body_model,
+                    b.astype(jnp.float32),
+                    g.astype(jnp.float32),
+                    bp.astype(jnp.float32),
+                    t.astype(jnp.float32),
+                    num_joints=joints_num,
+                )
+            )
+            self.joints_noisy = _chunked_jax(
+                fk,
+                self.n_samples,
+                fk_chunk,
+                noisy_params["betas"],
+                noisy_params["global_orient"],
+                noisy_params["body_pose"],
+                noisy_params["transl"],
+            ).astype(np.float64)
+        else:
+            self.noisy_params = None
+            self.joints_noisy = None
+
+        # --- repr encoding: one chunked JAX call over all clips
+        self.repr_clean = self._encode(cano_pos, cano_params, fk_chunk)
+        if self.joints_noisy is not None:
+            self.repr_noisy = self._encode(self.joints_noisy, self.noisy_params, fk_chunk)
+        else:
+            self.repr_noisy = None
+
+        # --- normalization stats (train: compute+save; test: load)
+        if split == "train":
+            self.mean, self.std = compute_stats(self.repr_clean)
+            if logdir is not None:
+                save_stats(logdir, self.mean, self.std)
+        else:
+            assert logdir is not None, "test split needs logdir with saved stats"
+            self.mean, self.std = load_stats(logdir)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_clips(root, datasets, split, clip_len):
+        """Read per-sequence npys and cut non-overlapping clips.
+
+        Matches reference divide_clip (dataloader_amass.py:105-131): test split
+        trims the first/last frame of every sequence before clipping.
+        """
+        joints_clips, params_clips = [], []
+        for dataset_name in datasets:
+            paths = sorted(
+                glob.glob(os.path.join(root, "pose_data_fps_30", dataset_name, "*/*.npy"))
+            )
+            for path in paths:
+                seq_joints = np.load(path)  # [T, 25, 3]
+                seq_params = np.load(
+                    path.replace(
+                        os.path.join(root, "pose_data_fps_30"),
+                        os.path.join(root, "smpl_data_fps_30"),
+                    )
+                )  # [T, 178]
+                if split == "test":
+                    seq_joints = seq_joints[1:-1]
+                    seq_params = seq_params[1:-1]
+                j, p = divide_into_clips(seq_joints, seq_params, clip_len)
+                joints_clips.extend(j)
+                params_clips.extend(p)
+        if not joints_clips:
+            return (
+                np.zeros((0, clip_len, 25, 3)),
+                np.zeros((0, clip_len, 178)),
+            )
+        return np.stack(joints_clips), np.stack(params_clips)
+
+    def _make_noisy_params(self, cano_params, load_noise, loaded):
+        """Gaussian noise on SMPL-X params; rotations perturbed in Euler space."""
+        n, t = self.n_samples, self.clip_len
+        noise = {}
+        if load_noise:
+            assert loaded is not None, "load_noise=True needs loaded_smplx_noise_dict"
+            for k in PARAM_NAMES:
+                noise[k] = np.asarray(loaded[k])[: n].reshape(
+                    (n, t) + np.asarray(loaded[k]).shape[2:]
+                )
+        else:
+            noise["transl"] = self._rng.normal(0.0, self.noise_std_params["transl"], (n, t, 3))
+            noise["betas"] = self._rng.normal(0.0, self.noise_std_params["betas"], (n, t, 10))
+            noise["global_orient"] = self._rng.normal(
+                0.0, self.noise_std_params["global_orient"], (n, t, 3)
+            )
+            noise["body_pose"] = self._rng.normal(
+                0.0, self.noise_std_params["body_pose"], (n, t, 21, 3)
+            )
+        noisy = {
+            "transl": cano_params["transl"] + noise["transl"],
+            "betas": cano_params["betas"] + noise["betas"],
+            "global_orient": _euler_noise_rotvec(
+                cano_params["global_orient"], noise["global_orient"]
+            ),
+            "body_pose": _euler_noise_rotvec(
+                cano_params["body_pose"].reshape(n, t, 21, 3), noise["body_pose"]
+            ).reshape(n, t, 63),
+        }
+        return noisy, noise
+
+    def _encode(self, positions, params, chunk):
+        enc = jax.jit(
+            lambda pos, go, tr, bp, be: get_repr(
+                pos.astype(jnp.float32),
+                global_orient=go.astype(jnp.float32),
+                transl=tr.astype(jnp.float32),
+                body_pose=bp.astype(jnp.float32),
+                betas=be.astype(jnp.float32),
+            )
+        )
+        return _chunked_jax(
+            enc,
+            self.n_samples,
+            chunk,
+            positions,
+            params["global_orient"],
+            params["transl"],
+            params["body_pose"],
+            params["betas"],
+        ).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def _norm(self, x):
+        return ((x - self.mean) / self.std).astype(np.float32)
+
+    def __getitem__(self, index: int) -> dict:
+        item = {}
+        clean = self.repr_clean[index]
+        if self.input_noise:
+            if self.sep_noise:
+                # fresh noise per access: params + joints noised independently
+                params = {k: self.cano_params[k][index].copy() for k in PARAM_NAMES}
+                params["transl"] += self._rng.normal(
+                    0.0, self.noise_std_params["transl"], params["transl"].shape
+                )
+                params["betas"] += self._rng.normal(
+                    0.0, self.noise_std_params["betas"], params["betas"].shape
+                )
+                params["global_orient"] = _euler_noise_rotvec(
+                    params["global_orient"],
+                    self._rng.normal(0.0, self.noise_std_params["global_orient"], (self.clip_len, 3)),
+                )
+                params["body_pose"] = _euler_noise_rotvec(
+                    params["body_pose"].reshape(self.clip_len, 21, 3),
+                    self._rng.normal(0.0, self.noise_std_params["body_pose"], (self.clip_len, 21, 3)),
+                ).reshape(self.clip_len, 63)
+                pos_noisy = self.joints_clean[index] + self._rng.normal(
+                    0.0, self.noise_std_joint, self.joints_clean[index].shape
+                )
+                noisy = np.asarray(
+                    get_repr(
+                        jnp.asarray(pos_noisy, jnp.float32),
+                        global_orient=jnp.asarray(params["global_orient"], jnp.float32),
+                        transl=jnp.asarray(params["transl"], jnp.float32),
+                        body_pose=jnp.asarray(params["body_pose"], jnp.float32),
+                        betas=jnp.asarray(params["betas"], jnp.float32),
+                    )
+                )
+                item["noisy_joints"] = pos_noisy.astype(np.float32)
+            else:
+                noisy = self.repr_noisy[index].copy()
+                item["noisy_joints"] = self.joints_noisy[index].astype(np.float32)
+            if self.task == "pose":
+                # PoseNet conditions on the CLEAN trajectory at train time
+                noisy[:, :TRAJ_FEAT_DIM_FULL] = clean[:, :TRAJ_FEAT_DIM_FULL]
+        else:
+            noisy = clean.copy()
+
+        item["motion_repr_clean"] = self._norm(clean)
+        item["motion_repr_noisy"] = self._norm(noisy)
+
+        if self.task == "traj":
+            mn = item["motion_repr_noisy"]
+            if self.repr_abs_only:
+                item["cond"] = gather_traj_abs(mn)
+            else:
+                item["cond"] = mn[:, :TRAJ_FEAT_DIM_FULL]
+            item["control_cond"] = item["motion_repr_clean"][:, -self.pose_feat_dim :]
+        return item
+
+    # ------------------------------------------------------------------
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        """Yield stacked batch dicts of fixed shape (TPU-friendly epoch stream)."""
+        order = np.arange(self.n_samples)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        stop = self.n_samples - (self.n_samples % batch_size if drop_last else 0)
+        for s in range(0, stop, batch_size):
+            idx = order[s : s + batch_size]
+            items = [self[int(i)] for i in idx]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def save_noise_dict(path: str, smplx_noise_dict: dict) -> None:
+    """Persist a generated noise bank in the reference pkl format
+    (dataloader_amass.py:238-245)."""
+    out = {k: np.asarray(v) for k, v in smplx_noise_dict.items()}
+    with open(path, "wb") as f:
+        pickle.dump(out, f, protocol=2)
+
+
+def load_noise_dict(path: str) -> dict:
+    """Load a preset-noise pkl (reference test_amass_full.py:84-89)."""
+    with open(path, "rb") as f:
+        return pickle.load(f)

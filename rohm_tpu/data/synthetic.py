@@ -77,3 +77,56 @@ def synthetic_clip_batch(
         k: np.stack([o[1][k] for o in outs]) for k in outs[0][1].keys()
     }
     return positions, params
+
+
+def params_to_flat178(params: dict) -> np.ndarray:
+    """Pack a params dict into the [T, 178] preprocessed-AMASS layout
+    (3 global_orient + 3 transl + 10 betas + 63 body_pose + 90 hands +
+    9 jaw/eyes, reference preprocessing_amass.py:74 / dataloader_amass.py:145-149)."""
+    t = len(params["transl"])
+    flat = np.zeros((t, 178), np.float64)
+    flat[:, 0:3] = params["global_orient"]
+    flat[:, 3:6] = params["transl"]
+    flat[:, 6:16] = params["betas"]
+    flat[:, 16:79] = params["body_pose"]
+    return flat
+
+
+def synthetic_amass_arrays(
+    model: SmplxModel, n_clips: int = 4, clip_len: int = 145, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """(joints [N, T, 25, 3], params [N, T, 178]) ready for AmassClipDataset."""
+    positions, params = synthetic_clip_batch(model, n_clips, clip_len, seed)
+    joints25 = np.zeros((n_clips, clip_len, 25, 3))
+    joints25[:, :, :22] = positions
+    flat = np.stack([params_to_flat178({k: params[k][i] for k in params}) for i in range(n_clips)])
+    return joints25, flat
+
+
+def write_synthetic_amass(
+    root: str,
+    model: SmplxModel,
+    datasets: dict[str, int] | None = None,
+    seq_len: int = 300,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic preprocessed-AMASS tree (pose_data_fps_30/ +
+    smpl_data_fps_30/) so the CLI drivers run end-to-end without real data."""
+    import os
+
+    datasets = datasets or {"SynthA": 3, "SynthB": 2}
+    i = 0
+    for dataset_name, n_seqs in datasets.items():
+        for s in range(n_seqs):
+            positions, params = synthetic_motion(model, seq_len, seed + i)
+            i += 1
+            joints25 = np.zeros((seq_len, 25, 3))
+            joints25[:, :22] = positions
+            flat = params_to_flat178(params)
+            seq_dir = f"seq{s:03d}"
+            jdir = os.path.join(root, "pose_data_fps_30", dataset_name, seq_dir)
+            pdir = os.path.join(root, "smpl_data_fps_30", dataset_name, seq_dir)
+            os.makedirs(jdir, exist_ok=True)
+            os.makedirs(pdir, exist_ok=True)
+            np.save(os.path.join(jdir, "motion.npy"), joints25)
+            np.save(os.path.join(pdir, "motion.npy"), flat)

@@ -1,0 +1,237 @@
+"""The full RoHM iterative inference pipeline as ONE jitted device program.
+
+Reference: test_amass_full.py:200-385 / test_prox_egobody.py:185-324. The
+reference alternates TrajNet and PoseNet with a host-side numpy per-sequence
+re-encoding bridge in the middle (test_amass_full.py:282-311 — SURVEY.md's
+"hard part #1"). Here the whole thing — TrajNet 100-step scan, the bridge
+(decode -> SMPL-X FK -> re-encode -> renormalize, pure JAX), the guided
+PoseNet 1000-step scan, and the second iteration through TrajControl — is one
+XLA program with zero host round-trips.
+
+Per-batch flow (sample_iter static, default 2):
+  iter 0: vanilla TrajNet sample -> bridge -> PoseNet guided sample
+  iter 1: TrajControl TrajNet (control_cond = PoseNet output pose dims,
+          last frame duplicated) -> bridge -> PoseNet guided sample
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rohm_tpu.body import SmplxModel, forward_joints
+from rohm_tpu.diffusion import DiffusionSchedule, p_sample_loop
+from rohm_tpu.geometry import rot6d_to_rotmat
+from rohm_tpu.models.guidance import amass_guidance
+from rohm_tpu.models.losses import merge_traj_output
+from rohm_tpu.reprs import get_repr, split_repr
+from rohm_tpu.reprs.schema import TRAJ_FEAT_DIM_FULL
+from rohm_tpu.train.masking import joint_mask_to_vec, lower_body_mask, upper_body_mask
+
+
+def traj_to_pose_bridge(
+    val_output_traj: jnp.ndarray,  # [B, T, 13|22] normalized TrajNet output
+    motion_repr_clean: jnp.ndarray,  # [B, T, 294] normalized (pose part source)
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    body_model: SmplxModel,
+    repr_abs_only: bool = True,
+) -> jnp.ndarray:
+    """Rebuild the full 22-d trajectory (abs + velocities) from TrajNet output.
+
+    Scatter -> denormalize -> SMPL-X decode -> re-encode through get_repr ->
+    renormalize -> first 22 dims. Output has T-1 frames (re-encoding drops the
+    last frame, which is why the full pipeline runs PoseNet at 143 frames;
+    reference test_amass_full.py:282-311).
+    """
+    full = merge_traj_output(motion_repr_clean, val_output_traj, repr_abs_only)
+    dn = full * std + mean
+    d = split_repr(dn)
+
+    global_orient_mat = rot6d_to_rotmat(d["smplx_rot_6d"])  # [B, T, 3, 3]
+    pose6d = d["smplx_body_pose_6d"]
+    body_pose_mat = rot6d_to_rotmat(pose6d.reshape(pose6d.shape[:-1] + (21, 6)))
+
+    joints = forward_joints(
+        body_model,
+        d["smplx_betas"],
+        # aa params unused when mats are passed; keep FK on the same rotmats
+        jnp.zeros(d["smplx_trans"].shape[:-1] + (3,), dn.dtype),
+        jnp.zeros(d["smplx_trans"].shape[:-1] + (63,), dn.dtype),
+        d["smplx_trans"],
+        num_joints=22,
+        global_orient_mat=global_orient_mat,
+        body_pose_mat=body_pose_mat,
+    )
+
+    re_repr = get_repr(
+        joints,
+        transl=d["smplx_trans"],
+        betas=d["smplx_betas"],
+        global_orient_mat=global_orient_mat,
+        body_pose_mat=body_pose_mat,
+    )  # [B, T-1, 294]
+    re_norm = (re_repr - mean) / std
+    return re_norm[..., :TRAJ_FEAT_DIM_FULL]
+
+
+def amass_eval_pose_mask(
+    mask_scheme: str,
+    batch_size: int,
+    clip_len: int,
+    window_start: np.ndarray | None = None,
+    window_len: int = 30,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Test-time occlusion mask [bs, T, 294] for the PoseNet condition
+    (reference test_amass_full.py:336-368). 'full' masks a window per sample:
+    fixed window_start (traj-infill setup: start 65, len ratio*145) or random
+    start with window_len=30 otherwise."""
+    if mask_scheme == "lower":
+        vis = joint_mask_to_vec(lower_body_mask(batch_size))
+        vis = np.broadcast_to(vis[:, None, :], (batch_size, clip_len, vis.shape[-1])).copy()
+    elif mask_scheme == "upper":
+        masked = np.zeros((batch_size, 22), bool)
+        masked[:, [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20]] = True
+        vis = joint_mask_to_vec(masked)
+        vis = np.broadcast_to(vis[:, None, :], (batch_size, clip_len, vis.shape[-1])).copy()
+    elif mask_scheme == "full":
+        if window_start is not None:
+            start = np.broadcast_to(np.asarray(window_start), (batch_size,))
+        elif rng is not None:
+            start = rng.integers(0, clip_len - 1, size=batch_size)
+        else:
+            start = np.full(batch_size, 65)
+        end = np.minimum(start + window_len, clip_len)
+        t = np.arange(clip_len)
+        inside = (t[None] >= start[:, None]) & (t[None] < end[:, None])
+        vis = np.ones((batch_size, clip_len, 294), np.float32)
+        vis[..., TRAJ_FEAT_DIM_FULL:] *= (~inside)[..., None]
+    else:
+        raise ValueError(f"bad mask_scheme {mask_scheme}")
+    vis[..., -4:] = 0.0
+    return vis.astype(np.float32)
+
+
+@dataclass
+class RohmPipeline:
+    """Bundles the three models + schedules + stats into one jitted runner."""
+
+    trajnet: Any  # TrajNet flax module (trajcontrol=False)
+    trajnet_params: Any
+    trajcontrol: Any  # TrajNet flax module (trajcontrol=True); may be None
+    trajcontrol_params: Any
+    posenet: Any
+    posenet_params: Any
+    sched_traj: DiffusionSchedule
+    sched_pose: DiffusionSchedule
+    body_model: SmplxModel
+    mean: jnp.ndarray  # [294]
+    std: jnp.ndarray  # [294]
+    repr_abs_only: bool = True
+    traj_feat_dim: int = 13
+    sample_iter: int = 2
+    early_stop: bool = False
+    early_stop_steps: int = 20
+    grad_type: str | None = "amass"  # None disables guidance
+    mask_scheme: str = "lower"
+    input_noise: bool = True
+    iter2_cond_noisy_pose: bool = False
+    iter2_cond_noisy_traj: bool = False
+    guidance_override: tuple = field(default=None)
+    _jitted: Any = field(default=None, init=False, repr=False)
+
+    def _guidance(self):
+        if self.guidance_override is not None:
+            return self.guidance_override
+        if self.grad_type == "amass":
+            return amass_guidance(self.mean, self.std, self.body_model)
+        return ()
+
+    def _run(
+        self,
+        traj_cond: jnp.ndarray,  # [B, 144, traj_feat_dim] (infill mask pre-applied)
+        traj_clean: jnp.ndarray,  # [B, 144, 294] normalized
+        pose_noisy: jnp.ndarray,  # [B, 144, 294] normalized (clean traj dims)
+        pose_mask: jnp.ndarray,  # [B, 143, 294] visibility for PoseNet cond
+        traj_mask: jnp.ndarray,  # [B, 144] 1 = visible (infill)
+        key: jax.Array,
+    ):
+        """The fused pipeline. Returns (posenet output [B,143,294],
+        traj output [B,144,traj_feat_dim])."""
+        guidance = self._guidance()
+        early = self.early_stop_steps if self.early_stop else 0
+        b, t_traj = traj_cond.shape[0], traj_cond.shape[1]
+        t_pose = t_traj - 1
+
+        val_output_pose = None
+        val_output_traj = None
+        cur_traj_cond = traj_cond
+        for iter_idx in range(self.sample_iter):
+            key, k_traj, k_pose = jax.random.split(key, 3)
+            if iter_idx == 0:
+                def model_fn(x, tt):
+                    return self.trajnet.apply(self.trajnet_params, x, cur_traj_cond, tt)
+
+                val_output_traj = p_sample_loop(
+                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
+                )
+            else:
+                if self.iter2_cond_noisy_traj:
+                    cur_traj_cond = traj_cond * traj_mask[..., None] + val_output_traj * (
+                        1.0 - traj_mask[..., None]
+                    )
+                # control_cond: PoseNet pose dims, last frame duplicated
+                # (test_amass_full.py:256-260)
+                cc = val_output_pose[..., -272:]
+                control_cond = jnp.concatenate([cc, cc[:, -1:, :]], axis=1)  # [B,144,272]
+
+                def model_fn(x, tt):
+                    return self.trajcontrol.apply(
+                        self.trajcontrol_params, x, cur_traj_cond, tt, control_cond=control_cond
+                    )
+
+                val_output_traj = p_sample_loop(
+                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
+                )
+
+            traj_rec_full = traj_to_pose_bridge(
+                val_output_traj, traj_clean, self.mean, self.std,
+                self.body_model, self.repr_abs_only,
+            )  # [B, 143, 22]
+
+            # PoseNet condition assembly (test_amass_full.py:318-333)
+            if self.input_noise:
+                if self.iter2_cond_noisy_pose or iter_idx == 0:
+                    cond = pose_noisy[:, :t_pose]
+                else:
+                    cond = val_output_pose
+            else:
+                cond = pose_noisy[:, :t_pose]  # = clean when input_noise False
+            if not (self.mask_scheme == "lower" and not self.input_noise):
+                cond = jnp.concatenate([traj_rec_full, cond[..., TRAJ_FEAT_DIM_FULL:]], axis=-1)
+            mask_iter_num = self.sample_iter if self.iter2_cond_noisy_pose else 1
+            if iter_idx < mask_iter_num:
+                cond = cond * pose_mask
+
+            def pose_model_fn(x, tt):
+                return self.posenet.apply(self.posenet_params, x, cond, tt)
+
+            val_output_pose = p_sample_loop(
+                pose_model_fn, self.sched_pose, (b, t_pose, cond.shape[-1]), k_pose,
+                guidance=guidance, early_stop_steps=early,
+            )
+        return val_output_pose, val_output_traj
+
+    def run_batch(self, traj_cond, traj_clean, pose_noisy, pose_mask, traj_mask, key):
+        """Jit-cached entry; all args device-ready arrays."""
+        if self._jitted is None:
+            object.__setattr__(self, "_jitted", jax.jit(self._run))
+        return self._jitted(
+            jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
+            jnp.asarray(pose_mask), jnp.asarray(traj_mask), key,
+        )

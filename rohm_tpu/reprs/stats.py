@@ -33,6 +33,8 @@ def compute_stats(repr_frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             std[sl] = 1.0
         elif name != "smplx_betas":
             std[sl] = std[sl].mean()
+    # constant dims (possible with tiny/synthetic datasets) normalize to 0
+    std[std == 0.0] = 1.0
     return mean.astype(np.float32), std.astype(np.float32)
 
 

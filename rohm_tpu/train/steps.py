@@ -1,0 +1,187 @@
+"""Jitted training + eval-sampling steps for TrajNet and PoseNet.
+
+One fused device program per optimizer step: uniform timestep draw, q_sample,
+model forward, SMPL-X-in-the-loop losses, backward, AdamW update (the
+reference splits this across python in training_loop_*.py:126-139 / :276-288).
+
+Data parallelism: pass a Mesh and the step is wrapped so the batch is split on
+the 'data' axis while state stays replicated — XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rohm_tpu.body import SmplxModel
+from rohm_tpu.diffusion import DiffusionSchedule, p_sample_loop, q_sample
+from rohm_tpu.models.losses import posenet_losses, trajnet_losses
+from rohm_tpu.train.state import TrainState
+
+
+def _timesteps(key, batch_size: int, num_timesteps: int) -> jnp.ndarray:
+    """UniformSampler (reference resample.py:45-61): uniform t, unit weights."""
+    return jax.random.randint(key, (batch_size,), 0, num_timesteps)
+
+
+def _shardings(mesh: Mesh | None):
+    if mesh is None:
+        return {}
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return {"rep": rep, "data": data}
+
+
+def make_trajnet_train_step(
+    model,
+    sched: DiffusionSchedule,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    body_model: SmplxModel,
+    loss_weights: dict,
+    repr_abs_only: bool = True,
+    traj_feat_dim: int = 13,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """step(state, batch, key) -> (state, loss_dict).
+
+    batch keys: motion_repr_clean [B,T,294], cond [B,T,traj_feat_dim],
+    optionally control_cond [B,T,272] (TrajControl fine-tuning).
+    q_sample runs on the FIRST traj_feat_dim dims of the clean repr — the
+    reference does this even in abs-only mode where the model's output is
+    interpreted as the scattered abs-dims (gaussian_diffusion_trajnet.py:869-872
+    vs model/trajnet.py:292-297); we reproduce that exactly.
+    """
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        t_key, n_key = jax.random.split(key)
+        clean = batch["motion_repr_clean"]
+        x0 = clean[..., :traj_feat_dim]
+        t = _timesteps(t_key, clean.shape[0], sched.num_timesteps)
+        noise = jax.random.normal(n_key, x0.shape, x0.dtype)
+        x_t = q_sample(sched, x0, t, noise)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, x_t, batch["cond"], t, control_cond=batch.get("control_cond")
+            )
+            losses = trajnet_losses(
+                out, clean, mean, std, body_model, loss_weights, repr_abs_only
+            )
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    s = _shardings(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(s["rep"], s["data"], s["rep"]),
+        out_shardings=(s["rep"], s["rep"]),
+    )
+
+
+def make_posenet_train_step(
+    model,
+    sched: DiffusionSchedule,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    body_model: SmplxModel,
+    loss_weights: dict,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """step(state, batch, key, skating_active) -> (state, loss_dict).
+
+    batch keys: motion_repr_clean [B,T,294], cond [B,T,294] (masked).
+    q_sample covers the full 294-d repr (gaussian_diffusion_posenet.py:905-907).
+    skating_active gates the foot-skating loss (start_skating_loss_epoch).
+    """
+
+    def step(state: TrainState, batch: dict, key: jax.Array, skating_active: jnp.ndarray):
+        t_key, n_key, d_key = jax.random.split(key, 3)
+        clean = batch["motion_repr_clean"]
+        t = _timesteps(t_key, clean.shape[0], sched.num_timesteps)
+        noise = jax.random.normal(n_key, clean.shape, clean.dtype)
+        x_t = q_sample(sched, clean, t, noise)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, x_t, batch["cond"], t, train=True, rngs={"dropout": d_key}
+            )
+            losses = posenet_losses(
+                out, clean, mean, std, body_model, loss_weights,
+                skating_active=skating_active,
+            )
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    s = _shardings(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(s["rep"], s["data"], s["rep"], s["rep"]),
+        out_shardings=(s["rep"], s["rep"]),
+    )
+
+
+def make_trajnet_sampler(
+    model, sched: DiffusionSchedule, traj_feat_dim: int = 13, mesh: Mesh | None = None
+) -> Callable:
+    """sample(params, cond, key, control_cond=None) -> [B, T, traj_feat_dim].
+
+    The whole (typically 100-step) reverse chain is one compiled scan."""
+
+    def sample(params, cond, key, control_cond=None):
+        def model_fn(x, t):
+            return model.apply(params, x, cond, t, control_cond=control_cond)
+
+        shape = (cond.shape[0], cond.shape[1], traj_feat_dim)
+        return p_sample_loop(model_fn, sched, shape, key)
+
+    if mesh is None:
+        return jax.jit(sample)
+    s = _shardings(mesh)
+    return jax.jit(
+        sample,
+        in_shardings=(s["rep"], s["data"], s["rep"], s["data"]),
+        out_shardings=s["data"],
+    )
+
+
+def make_posenet_sampler(
+    model,
+    sched: DiffusionSchedule,
+    guidance: tuple = (),
+    early_stop_steps: int = 0,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """sample(params, cond, key) -> [B, T, 294] (1000-step chain, one scan)."""
+
+    def sample(params, cond, key):
+        def model_fn(x, t):
+            return model.apply(params, x, cond, t)
+
+        return p_sample_loop(
+            model_fn, sched, cond.shape, key,
+            guidance=guidance, early_stop_steps=early_stop_steps,
+        )
+
+    if mesh is None:
+        return jax.jit(sample)
+    s = _shardings(mesh)
+    return jax.jit(
+        sample,
+        in_shardings=(s["rep"], s["data"], s["rep"]),
+        out_shardings=s["data"],
+    )

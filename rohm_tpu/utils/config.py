@@ -1,0 +1,68 @@
+"""YAML-backed CLI config parser, API-compatible with the reference surface.
+
+The reference uses configargparse with YAMLConfigFileParser: every flag is
+declared per-script, `--config file.yaml` supplies defaults whose keys mirror
+flag names, and CLI flags override YAML (reference train_trajnet.py:16-79).
+configargparse isn't available here, so this is a small argparse wrapper with
+identical semantics, including the reference's bool convention
+(`lambda x: x.lower() in ['true','1']`).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any
+
+import yaml
+
+
+def str2bool(x) -> bool:
+    """Reference bool parsing: 'true'/'1' (case-insensitive) are True."""
+    if isinstance(x, bool):
+        return x
+    return str(x).lower() in ["true", "1"]
+
+
+class ConfigParser:
+    """argparse + YAML defaults. Precedence: CLI flag > YAML value > default."""
+
+    def __init__(self, description: str = ""):
+        self._parser = argparse.ArgumentParser(description=description)
+        self._parser.add_argument("--config", type=str, default="", help="YAML config file")
+        self._types: dict[str, Any] = {}
+
+    def add_argument(self, name: str, type=str, default=None, help: str = "", nargs=None):
+        if type is bool or type == str2bool:
+            type = str2bool
+        kwargs = dict(type=type, default=None, help=help)
+        if nargs is not None:
+            kwargs["nargs"] = nargs
+        self._parser.add_argument(name, **kwargs)
+        self._types[name.lstrip("-").replace("-", "_")] = (type, default, nargs)
+        return self
+
+    # reference scripts call parser.parse_args() and read attrs
+    def parse_args(self, argv=None) -> argparse.Namespace:
+        cli = self._parser.parse_args(argv)
+        yaml_vals = {}
+        if cli.config:
+            with open(cli.config) as f:
+                yaml_vals = yaml.safe_load(f) or {}
+
+        out = argparse.Namespace(config=cli.config)
+        for key, (typ, default, nargs) in self._types.items():
+            cli_val = getattr(cli, key, None)
+            if cli_val is not None:
+                val = cli_val
+            elif key in yaml_vals:
+                val = yaml_vals[key]
+                if val is not None and nargs is None:
+                    val = typ(val)
+            else:
+                val = default
+            setattr(out, key, val)
+        # pass through unknown YAML keys so configs stay forward-compatible
+        for key, val in yaml_vals.items():
+            if not hasattr(out, key):
+                setattr(out, key, val)
+        return out

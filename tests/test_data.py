@@ -1,0 +1,154 @@
+"""Data-layer tests: AMASS clip dataset, noise model, stats, clip cutting."""
+
+import numpy as np
+import pytest
+
+from rohm_tpu.body import synthetic_model
+from rohm_tpu.data import (
+    AmassClipDataset,
+    divide_into_clips,
+    overlapping_windows,
+    synthetic_amass_arrays,
+    write_synthetic_amass,
+)
+from rohm_tpu.reprs.schema import BODY_FEAT_DIM, TRAJ_FEAT_DIM_FULL
+
+CLIP_LEN = 33  # -> 32 repr frames (divisible by 16 for the U-Net)
+
+
+@pytest.fixture(scope="module")
+def body():
+    return synthetic_model(num_verts=64)
+
+
+@pytest.fixture(scope="module")
+def clips(body):
+    return synthetic_amass_arrays(body, n_clips=4, clip_len=CLIP_LEN, seed=0)
+
+
+def _make(body, clips, tmpdir, **kw):
+    defaults = dict(
+        body_model=body,
+        split="train",
+        clip_len=CLIP_LEN,
+        input_noise=True,
+        noise_std_smplx_global_rot=3.0,
+        noise_std_smplx_body_rot=3.0,
+        noise_std_smplx_trans=0.03,
+        noise_std_smplx_betas=0.1,
+        task="traj",
+        repr_abs_only=True,
+        logdir=str(tmpdir),
+        clips=clips,
+    )
+    defaults.update(kw)
+    return AmassClipDataset(**defaults)
+
+
+def test_clip_cutting():
+    j = np.arange(10 * 25 * 3, dtype=float).reshape(10, 25, 3)
+    p = np.zeros((10, 178))
+    joints, params = divide_into_clips(j, p, 4)
+    assert len(joints) == 2 and joints[0].shape == (4, 25, 3)
+    np.testing.assert_array_equal(joints[1], j[4:8])
+
+
+def test_overlapping_windows():
+    spans = overlapping_windows(10, 4, 2)
+    assert spans == [(0, 4), (2, 6), (4, 8), (6, 10)]
+
+
+def test_dataset_shapes_and_stats(body, clips, tmp_path):
+    ds = _make(body, clips, tmp_path)
+    assert len(ds) == 4
+    assert ds.repr_clean.shape == (4, CLIP_LEN - 1, BODY_FEAT_DIM)
+    assert ds.repr_noisy.shape == (4, CLIP_LEN - 1, BODY_FEAT_DIM)
+    assert np.isfinite(ds.repr_clean).all() and np.isfinite(ds.repr_noisy).all()
+    # noise actually changed the repr
+    assert np.abs(ds.repr_clean - ds.repr_noisy).max() > 1e-4
+    # stats saved and loadable by a test-split dataset
+    ds_test = _make(body, clips, tmp_path, split="test")
+    np.testing.assert_allclose(ds_test.mean, ds.mean)
+    np.testing.assert_allclose(ds_test.std, ds.std)
+    # contact block stats are identity
+    np.testing.assert_array_equal(ds.mean[-4:], 0.0)
+    np.testing.assert_array_equal(ds.std[-4:], 1.0)
+
+
+def test_traj_task_item(body, clips, tmp_path):
+    ds = _make(body, clips, tmp_path)
+    item = ds[0]
+    assert item["motion_repr_clean"].shape == (CLIP_LEN - 1, BODY_FEAT_DIM)
+    assert item["cond"].shape == (CLIP_LEN - 1, 13)
+    assert item["control_cond"].shape == (CLIP_LEN - 1, 272)
+    assert item["noisy_joints"].shape == (CLIP_LEN, 22, 3)
+    # normalization applied: clean repr should be roughly zero-centered
+    assert abs(item["motion_repr_clean"][:, :280].mean()) < 2.0
+    # abs-only cond = gathered dims of the noisy repr
+    idx = [0, 2, 3, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18]
+    np.testing.assert_allclose(item["cond"], item["motion_repr_noisy"][:, idx], atol=1e-6)
+
+
+def test_pose_task_clean_traj_cond(body, clips, tmp_path):
+    ds = _make(body, clips, tmp_path, task="pose", repr_abs_only=False)
+    item = ds[1]
+    # pose task: noisy cond carries the CLEAN trajectory dims
+    np.testing.assert_allclose(
+        item["motion_repr_noisy"][:, :TRAJ_FEAT_DIM_FULL],
+        item["motion_repr_clean"][:, :TRAJ_FEAT_DIM_FULL],
+        atol=1e-6,
+    )
+    # but pose dims differ (noise)
+    assert (
+        np.abs(
+            item["motion_repr_noisy"][:, TRAJ_FEAT_DIM_FULL:-4]
+            - item["motion_repr_clean"][:, TRAJ_FEAT_DIM_FULL:-4]
+        ).max()
+        > 1e-4
+    )
+
+
+def test_preset_noise_reproducible(body, clips, tmp_path):
+    ds1 = _make(body, clips, tmp_path, seed=1)
+    noise = {k: np.asarray(v) for k, v in ds1.smplx_noise_dict.items()}
+    ds2 = _make(body, clips, tmp_path, seed=99, load_noise=True, loaded_smplx_noise_dict=noise)
+    np.testing.assert_allclose(ds1.repr_noisy, ds2.repr_noisy, atol=1e-5)
+
+
+def test_batches_iterator(body, clips, tmp_path):
+    ds = _make(body, clips, tmp_path)
+    batches = list(ds.batches(batch_size=2, seed=0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["motion_repr_clean"].shape == (2, CLIP_LEN - 1, BODY_FEAT_DIM)
+        assert b["cond"].shape == (2, CLIP_LEN - 1, 13)
+
+
+def test_file_loading_roundtrip(body, tmp_path):
+    root = tmp_path / "amass"
+    write_synthetic_amass(str(root), body, datasets={"SynthA": 1}, seq_len=70, seed=0)
+    ds = AmassClipDataset(
+        body_model=body,
+        preprocessed_amass_root=str(root),
+        amass_datasets=["SynthA"],
+        split="train",
+        clip_len=CLIP_LEN,
+        input_noise=False,
+        task="pose",
+        logdir=str(tmp_path / "run"),
+    )
+    assert len(ds) == 2  # 70 frames -> two 33-frame clips
+    # test split trims first/last frame: 68 frames -> still 2 clips
+    ds_test = AmassClipDataset(
+        body_model=body,
+        preprocessed_amass_root=str(root),
+        amass_datasets=["SynthA"],
+        split="test",
+        clip_len=CLIP_LEN,
+        input_noise=False,
+        task="pose",
+        logdir=str(tmp_path / "run"),
+    )
+    assert len(ds_test) == 2
+    item = ds_test[0]
+    np.testing.assert_allclose(item["motion_repr_noisy"], item["motion_repr_clean"])

@@ -1,0 +1,153 @@
+"""End-to-end tests of the fused iterative inference pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rohm_tpu.body import synthetic_model
+from rohm_tpu.data import AmassClipDataset, synthetic_amass_arrays
+from rohm_tpu.diffusion import make_schedule
+from rohm_tpu.models import PoseNet, TrajNet
+from rohm_tpu.pipeline import RohmPipeline, amass_eval_pose_mask, traj_to_pose_bridge
+from rohm_tpu.reprs.schema import BODY_FEAT_DIM
+
+CLIP_LEN = 17  # -> traj T=16 (divisible by 16), pose T=15
+
+
+@pytest.fixture(scope="module")
+def body():
+    return synthetic_model(num_verts=64)
+
+
+@pytest.fixture(scope="module")
+def datasets(body, tmp_path_factory):
+    clips = synthetic_amass_arrays(body, n_clips=2, clip_len=CLIP_LEN, seed=0)
+    logdir = str(tmp_path_factory.mktemp("stats"))
+    kw = dict(
+        body_model=body, clip_len=CLIP_LEN, input_noise=True,
+        noise_std_smplx_global_rot=3.0, noise_std_smplx_body_rot=3.0,
+        noise_std_smplx_trans=0.03, noise_std_smplx_betas=0.1, clips=clips,
+    )
+    ds_traj = AmassClipDataset(split="train", task="traj", repr_abs_only=True, logdir=logdir, **kw)
+    ds_pose = AmassClipDataset(split="test", task="pose", repr_abs_only=False, logdir=logdir, **kw)
+    return ds_traj, ds_pose
+
+
+def test_bridge_shapes_and_consistency(body, datasets):
+    """Bridge output must equal re-encoding the clean repr when TrajNet output
+    is the clean traj (round-trip through decode/FK/encode/normalize)."""
+    ds_traj, _ = datasets
+    clean = jnp.asarray(ds_traj.repr_clean[:2] - ds_traj.mean) / jnp.asarray(ds_traj.std)
+    mean, std = jnp.asarray(ds_traj.mean), jnp.asarray(ds_traj.std)
+    traj_out = clean[..., [0, 2, 3, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18]]
+    bridged = traj_to_pose_bridge(traj_out, clean, mean, std, body, repr_abs_only=True)
+    assert bridged.shape == (2, CLIP_LEN - 2, 22)
+    assert np.isfinite(np.asarray(bridged)).all()
+    # the re-encoded traj should be close to the original normalized traj
+    # (same joints in, same encoder; small numeric drift via FK round-trip)
+    orig = np.asarray(clean[:, : CLIP_LEN - 2, :22])
+    err = np.abs(np.asarray(bridged) - orig)
+    assert np.median(err) < 0.2, f"median bridge error too high: {np.median(err)}"
+
+
+def test_full_pipeline_runs(body, datasets):
+    ds_traj, ds_pose = datasets
+    t_traj = CLIP_LEN - 1
+    model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    model_trajcontrol = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64, trajcontrol=True)
+    model_posenet = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+
+    key = jax.random.PRNGKey(0)
+    p_traj = model_trajnet.init(key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32))
+    p_ctrl = model_trajcontrol.init(
+        key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32),
+        control_cond=jnp.zeros((1, t_traj, 272)),
+    )
+    p_pose = model_posenet.init(key, jnp.zeros((1, t_traj - 1, 294)), jnp.zeros((1, t_traj - 1, 294)), jnp.zeros(1, jnp.int32))
+
+    pipeline = RohmPipeline(
+        trajnet=model_trajnet, trajnet_params=p_traj,
+        trajcontrol=model_trajcontrol, trajcontrol_params=p_ctrl,
+        posenet=model_posenet, posenet_params=p_pose,
+        sched_traj=make_schedule("cosine", 5),
+        sched_pose=make_schedule("cosine", 8),
+        body_model=body,
+        mean=jnp.asarray(ds_pose.mean), std=jnp.asarray(ds_pose.std),
+        repr_abs_only=True, traj_feat_dim=13, sample_iter=2,
+        grad_type=None, mask_scheme="lower", input_noise=True,
+        iter2_cond_noisy_pose=True, iter2_cond_noisy_traj=True,
+    )
+
+    bt = next(ds_traj.batches(2, shuffle=False))
+    bp_items = [ds_pose[i] for i in range(2)]
+    pose_noisy = np.stack([it["motion_repr_noisy"] for it in bp_items])
+    pose_mask = amass_eval_pose_mask("lower", 2, t_traj - 1)
+    traj_mask = np.ones((2, t_traj), np.float32)
+
+    val_pose, val_traj = pipeline.run_batch(
+        bt["cond"], bt["motion_repr_clean"], pose_noisy, pose_mask, traj_mask,
+        jax.random.PRNGKey(1),
+    )
+    assert val_pose.shape == (2, t_traj - 1, BODY_FEAT_DIM)
+    assert val_traj.shape == (2, t_traj, 13)
+    assert np.isfinite(np.asarray(val_pose)).all()
+    assert np.isfinite(np.asarray(val_traj)).all()
+    # traj dims of the PoseNet output pass through from its condition
+    # (PoseNet concatenates the given traj back, model/posenet.py:94-95)
+
+
+def test_guided_pipeline_runs(body, datasets):
+    """Guidance on (amass skating) through the fused pipeline."""
+    ds_traj, ds_pose = datasets
+    t_traj = CLIP_LEN - 1
+    model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    model_posenet = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    key = jax.random.PRNGKey(0)
+    p_traj = model_trajnet.init(key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32))
+    p_pose = model_posenet.init(key, jnp.zeros((1, t_traj - 1, 294)), jnp.zeros((1, t_traj - 1, 294)), jnp.zeros(1, jnp.int32))
+
+    pipeline = RohmPipeline(
+        trajnet=model_trajnet, trajnet_params=p_traj,
+        trajcontrol=None, trajcontrol_params=None,
+        posenet=model_posenet, posenet_params=p_pose,
+        sched_traj=make_schedule("cosine", 5),
+        sched_pose=make_schedule("cosine", 8),
+        body_model=body,
+        mean=jnp.asarray(ds_pose.mean), std=jnp.asarray(ds_pose.std),
+        repr_abs_only=True, traj_feat_dim=13, sample_iter=1,
+        grad_type="amass", mask_scheme="lower", input_noise=True,
+    )
+    bt = next(ds_traj.batches(2, shuffle=False))
+    pose_noisy = np.stack([ds_pose[i]["motion_repr_noisy"] for i in range(2)])
+    pose_mask = amass_eval_pose_mask("lower", 2, t_traj - 1)
+    val_pose, _ = pipeline.run_batch(
+        bt["cond"], bt["motion_repr_clean"], pose_noisy, pose_mask,
+        np.ones((2, t_traj), np.float32), jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(np.asarray(val_pose)).all()
+
+
+def test_eval_metrics_on_synthetic():
+    """Metric functions: identical inputs -> zero errors and sane ranges."""
+    from rohm_tpu.evals.metrics import (
+        accel_error,
+        contact_label_accuracy,
+        ground_penetration,
+        mpjpe_global,
+        mpjpe_masked,
+        skating_ratio,
+    )
+
+    rng = np.random.default_rng(0)
+    j = rng.normal(size=(3, 20, 22, 3))
+    assert mpjpe_global(j, j) == 0.0
+    vis, occ = mpjpe_masked(j, j + 0.01, "lower")
+    assert vis > 0 and occ > 0
+    r = np.zeros((2, 20, 294), np.float32)
+    c = np.zeros((2, 20, 294), np.float32)
+    assert contact_label_accuracy(c, r) == 1.0
+    assert 0.0 <= skating_ratio(j) <= 1.0
+    assert accel_error(j, j) == 0.0
+    freq, dist = ground_penetration(j, floor_joints=j)
+    assert freq >= 0 and dist <= 0

@@ -1,0 +1,132 @@
+"""Training-subsystem tests: jitted steps, sharded steps, checkpoints, samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rohm_tpu.body import synthetic_model
+from rohm_tpu.data import AmassClipDataset, synthetic_amass_arrays
+from rohm_tpu.diffusion import make_schedule
+from rohm_tpu.models import PoseNet, TrajNet
+from rohm_tpu.parallel import data_parallel_mesh
+from rohm_tpu.train import create_train_state, make_posenet_train_step, make_trajnet_train_step
+from rohm_tpu.train.checkpoint import latest_checkpoint, load_params_into, save_checkpoint
+from rohm_tpu.train.resample import LossSecondMomentResampler, create_named_schedule_sampler
+from rohm_tpu.train.steps import make_trajnet_sampler
+
+CLIP_LEN = 33
+T = CLIP_LEN - 1
+
+TRAJ_WEIGHTS = {"weight_loss_root_rec_repr": 1.0, "weight_loss_root_pos_global": 1.0}
+POSE_WEIGHTS = {"weight_loss_rec_repr_full_body": 1.0, "weight_loss_joint_pos_global": 1.0}
+
+
+@pytest.fixture(scope="module")
+def body():
+    return synthetic_model(num_verts=64)
+
+
+@pytest.fixture(scope="module")
+def dataset(body, tmp_path_factory):
+    clips = synthetic_amass_arrays(body, n_clips=4, clip_len=CLIP_LEN, seed=0)
+    return AmassClipDataset(
+        body_model=body, split="train", clip_len=CLIP_LEN, input_noise=True,
+        noise_std_smplx_global_rot=3.0, noise_std_smplx_body_rot=3.0,
+        noise_std_smplx_trans=0.03, noise_std_smplx_betas=0.1,
+        task="traj", repr_abs_only=True,
+        logdir=str(tmp_path_factory.mktemp("run")), clips=clips,
+    )
+
+
+def test_trajnet_train_step_updates_params(body, dataset):
+    model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    sched = make_schedule("cosine", 20)
+    batch = next(dataset.batches(2, shuffle=False))
+    batch.pop("control_cond")
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2, T, 13)), jnp.zeros((2, T, 13)), jnp.zeros(2, jnp.int32))
+    state = create_train_state(params, lr=1e-3)
+    step = make_trajnet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, TRAJ_WEIGHTS, repr_abs_only=True, traj_feat_dim=13,
+    )
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, losses = step(state, batch, key)
+    assert np.isfinite(float(losses["loss"]))
+    assert int(state.step) == 1
+    assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+
+def test_posenet_train_step(body, dataset):
+    model = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    sched = make_schedule("cosine", 20)
+    batch = next(dataset.batches(2, shuffle=False))
+    step_batch = {
+        "motion_repr_clean": batch["motion_repr_clean"],
+        "cond": batch["motion_repr_noisy"],
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2, T, 294)), jnp.zeros((2, T, 294)), jnp.zeros(2, jnp.int32))
+    state = create_train_state(params, lr=1e-3)
+    step = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std), body, POSE_WEIGHTS
+    )
+    state, losses = step(state, step_batch, key, jnp.asarray(1.0))
+    assert np.isfinite(float(losses["loss"]))
+    assert np.isfinite(float(losses["loss_foot_skating_from_smpl"]))
+
+
+def test_trajnet_train_step_sharded(body, dataset):
+    mesh = data_parallel_mesh()
+    assert mesh.size == 8
+    model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    sched = make_schedule("cosine", 10)
+    items = [dataset[i % len(dataset)] for i in range(8)]
+    batch = {
+        "motion_repr_clean": np.stack([it["motion_repr_clean"] for it in items]),
+        "cond": np.stack([it["cond"] for it in items]),
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((8, T, 13)), jnp.zeros((8, T, 13)), jnp.zeros(8, jnp.int32))
+    state = create_train_state(params, lr=1e-3)
+    step = make_trajnet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, TRAJ_WEIGHTS, repr_abs_only=True, traj_feat_dim=13, mesh=mesh,
+    )
+    state, losses = step(state, batch, key)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_trajnet_sampler_shapes(body, dataset):
+    model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    sched = make_schedule("cosine", 10)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2, T, 13)), jnp.zeros((2, T, 13)), jnp.zeros(2, jnp.int32))
+    sampler = make_trajnet_sampler(model, sched, 13)
+    out = sampler(params, jnp.zeros((2, T, 13)), key)
+    assert out.shape == (2, T, 13)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    save_checkpoint(str(tmp_path), 42, params)
+    path = latest_checkpoint(str(tmp_path))
+    assert path is not None and path.endswith("model000000042")
+    restored = load_params_into(params, path)
+    np.testing.assert_array_equal(restored["dense"]["kernel"], params["dense"]["kernel"])
+
+
+def test_schedule_samplers():
+    rng = np.random.default_rng(0)
+    s = create_named_schedule_sampler("uniform", 100)
+    t, w = s.sample(64, rng)
+    assert t.shape == (64,) and (t < 100).all() and np.allclose(w, 1.0)
+
+    ls = LossSecondMomentResampler(10, history_per_term=2)
+    for _ in range(3):
+        t, _ = ls.sample(32, rng)
+        ls.update_with_losses(t, np.abs(rng.normal(size=32)))
+    t, w = ls.sample(64, rng)
+    assert (w > 0).all()
