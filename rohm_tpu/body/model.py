@@ -59,6 +59,8 @@ class SmplxModel:
     # precomputed joints fast path
     j_template: jnp.ndarray = None  # [NUM_JOINTS, 3]
     j_shapedirs: jnp.ndarray = None  # [NUM_JOINTS, 3, NUM_BETAS]
+    # triangle table for mesh viz/rendering (None for synthetic models)
+    faces: Any = struct.field(pytree_node=False, default=None)  # [F, 3] int np
 
     @property
     def num_verts(self) -> int:
@@ -87,7 +89,9 @@ def load_smplx_npz(path: str, dtype=jnp.float32) -> SmplxModel:
         lbs_weights = np.asarray(data["weights"], np.float64)
         parents = np.asarray(data["kintree_table"], np.int64)[0]
         parents[0] = -1
+        faces = np.asarray(data["f"], np.int64) if "f" in data else None
     model = SmplxModel(
+        faces=faces,
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
         posedirs=jnp.asarray(posedirs, dtype),

@@ -1,0 +1,156 @@
+"""eval_prox_egobody — metrics over saved test_prox_egobody result pickles.
+
+CLI/metric parity with reference eval_prox_egobody.py: per-recording or 'all',
+results mapped back to scene coords via the inverse canonicalization
+transform, axis-aware skating (z-up PROX / y-up EgoBody), ||acc|| (PROX) or
+accel error (EgoBody), G-MPJPE/MPJPE/vis/occ vs EgoBody GT, ground
+penetration vs per-scene floor heights.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from rohm_tpu.data.video import EGOBODY_FLOOR_HEIGHT, PROX_FLOOR_HEIGHT
+from rohm_tpu.evals.metrics import (
+    egobody_mpjpe_set,
+    ground_penetration_fixed_floor,
+    skating_ratio_fixed_floor,
+)
+from rohm_tpu.utils import ConfigParser
+
+# test-split recordings (reference eval_prox_egobody.py:56-69)
+PROX_TEST_RECORDINGS = [
+    "MPH1Library_00034_01", "N0Sofa_00034_01", "N0Sofa_00034_02", "N0Sofa_00141_01",
+    "N0Sofa_00145_01", "N3Library_00157_01", "N3Library_00157_02", "N3Library_03301_01",
+    "N3Library_03301_02", "N3Library_03375_01", "N3Library_03375_02", "N3Library_03403_01",
+    "N3Library_03403_02", "N3Office_00034_01", "N3Office_00139_01", "N3Office_00150_01",
+    "N3Office_00153_01", "N3Office_00159_01", "N3Office_03301_01",
+]
+EGOBODY_TEST_RECORDINGS = [
+    "recording_20210907_S02_S01_01", "recording_20210907_S03_S04_01",
+    "recording_20210929_S05_S16_01", "recording_20210929_S05_S16_04",
+    "recording_20211004_S19_S06_01", "recording_20211004_S19_S06_02",
+    "recording_20211004_S19_S06_03", "recording_20211004_S12_S20_01",
+    "recording_20211004_S12_S20_02", "recording_20211004_S12_S20_03",
+    "recording_20220315_S21_S30_03", "recording_20220315_S21_S30_05",
+    "recording_20220318_S32_S31_01", "recording_20220318_S32_S31_02",
+    "recording_20220318_S34_S33_01", "recording_20220318_S33_S34_01",
+    "recording_20220318_S33_S34_02", "recording_20220415_S36_S35_02",
+    "recording_20220415_S35_S36_02",
+]
+
+
+def build_parser() -> ConfigParser:
+    p = ConfigParser("RoHM-TPU PROX/EgoBody evaluation")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--body_model_path", type=str, default="data/body_models/smplx_model")
+    p.add_argument("--dataset", type=str, default="egobody")
+    p.add_argument("--dataset_root", type=str, default="")
+    p.add_argument("--saved_data_dir", type=str, default="")
+    p.add_argument("--recording_name", type=str, default="all")
+    p.add_argument("--visualize", type=bool, default=False)
+    p.add_argument("--vis_option", type=str, default="mesh")
+    p.add_argument("--vis_interval", type=int, default=1)
+    p.add_argument("--render", type=bool, default=False)
+    p.add_argument("--render_interval", type=int, default=100)
+    p.add_argument("--render_save_path", type=str, default="render_imgs")
+    # extension: recording list override for synthetic-data runs
+    p.add_argument("--recording_list", type=str, default="")
+    return p
+
+
+def _to_scene(joints_cano: np.ndarray, transf: np.ndarray) -> np.ndarray:
+    """Map [n, T, 22, 3] canonical joints back to scene coords via the inverse
+    per-clip transform (eval_prox_egobody.py:178-182)."""
+    out = np.empty_like(joints_cano)
+    for i in range(len(joints_cano)):
+        inv = np.linalg.inv(transf[i])
+        out[i] = joints_cano[i] @ inv[:3, :3].T + inv[:3, 3]
+    return out
+
+
+def evaluate_recording(saved_data: dict, dataset: str) -> dict:
+    """Per-recording raw metric arrays (pre-aggregation)."""
+    rec_cano = saved_data["rec_ric_data_rec_list_from_smpl"]
+    transf = saved_data["trans_scene2cano_list"]
+    rec_scene = _to_scene(rec_cano, transf)
+    recording_name = saved_data["recording_name"]
+    if dataset == "prox":
+        scene = recording_name.split("_")[0]
+        ground = PROX_FLOOR_HEIGHT[scene]
+        up = 2
+    else:
+        # scene name via floor-height key match is not stored; EgoBody pickles
+        # carry gt joints whose min height approximates the floor
+        up = 1
+        ground = None
+
+    out = {}
+    clip_len = rec_scene.shape[1]
+    if dataset == "egobody":
+        gt_scene = saved_data["joints_gt_scene_coord_list"][:, :clip_len]
+        if ground is None:
+            ground = float(gt_scene[..., up].min())
+        mask = saved_data["mask_joint_vis_list"][:, :clip_len]
+        out["mpjpe_set"] = egobody_mpjpe_set(gt_scene, rec_scene, mask)
+        acc = lambda j: (j[:, 2:] - 2 * j[:, 1:-1] + j[:, :-2]) * 900.0
+        out["acc_error"] = float(np.linalg.norm(acc(rec_scene) - acc(gt_scene), axis=-1).mean())
+    acc_rec = (rec_scene[:, 2:] - 2 * rec_scene[:, 1:-1] + rec_scene[:, :-2]) * 900.0
+    out["acc_mag"] = float(np.linalg.norm(acc_rec, axis=-1).mean())
+    out["skating"] = skating_ratio_fixed_floor(rec_scene, ground, up)
+    freq, dist = ground_penetration_fixed_floor(rec_scene, ground, up)
+    out["pene_freq"] = freq
+    out["pene_dist"] = dist
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.recording_list:
+        recordings = [r for r in args.recording_list.split(",") if r]
+    elif args.recording_name != "all":
+        recordings = [args.recording_name]
+    else:
+        recordings = PROX_TEST_RECORDINGS if args.dataset == "prox" else EGOBODY_TEST_RECORDINGS
+
+    per_rec = []
+    for name in recordings:
+        path = os.path.join(args.saved_data_dir, f"{name}.pkl")
+        if not os.path.exists(path):
+            print(f"[WARN] missing result pickle {path}, skipping")
+            continue
+        with open(path, "rb") as f:
+            saved = pickle.load(f)
+        per_rec.append(evaluate_recording(saved, args.dataset))
+
+    assert per_rec, "no result pickles found"
+    agg = {}
+    print("\n --------------- evaluation metrics -------------")
+    agg["skating"] = float(np.mean([m["skating"] for m in per_rec]))
+    print("skating score: {:0.3f}".format(agg["skating"]))
+    if args.dataset == "prox":
+        agg["acc_mag"] = float(np.mean([m["acc_mag"] for m in per_rec]))
+        print("||acc|| (m/s^2): {:0.2f}".format(agg["acc_mag"]))
+    else:
+        agg["acc_error"] = float(np.mean([m["acc_error"] for m in per_rec]))
+        print("acc errors (m/s^2): {:0.2f}".format(agg["acc_error"]))
+    agg["pene_freq"] = float(np.mean([m["pene_freq"] for m in per_rec]))
+    agg["pene_dist"] = float(np.mean([m["pene_dist"] for m in per_rec]))
+    print("ground_pene_freq score (%): {:0.2f}".format(agg["pene_freq"] * 100))
+    print("ground_pene_dist score (mm): {:0.2f}".format(-agg["pene_dist"] * 1000))
+    if args.dataset == "egobody":
+        for k in ("gmpjpe", "mpjpe", "mpjpe_vis", "mpjpe_occ"):
+            agg[k] = float(np.mean([m["mpjpe_set"][k] for m in per_rec]))
+        print("-------------- gmpjpe/mpjpe/mpjpe-vis/mpjpe-occ (mm) --------------")
+        print("{:0.2f} / {:0.2f} / {:0.2f} / {:0.2f}".format(
+            agg["gmpjpe"] * 1000, agg["mpjpe"] * 1000,
+            agg["mpjpe_vis"] * 1000, agg["mpjpe_occ"] * 1000))
+    return agg
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,9 @@ from rohm_tpu.data.synthetic import (
     synthetic_clip_batch,
     synthetic_motion,
     write_synthetic_amass,
+    write_synthetic_prox,
 )
+from rohm_tpu.data.video import VideoClipDataset
 
 __all__ = [
     "AmassClipDataset",
@@ -27,4 +29,6 @@ __all__ = [
     "synthetic_clip_batch",
     "synthetic_amass_arrays",
     "write_synthetic_amass",
+    "write_synthetic_prox",
+    "VideoClipDataset",
 ]

@@ -103,6 +103,85 @@ def synthetic_amass_arrays(
     return joints25, flat
 
 
+def write_synthetic_prox(
+    init_root: str,
+    base_dir: str,
+    model: SmplxModel,
+    recording_name: str = "MPH11_00034_01",
+    n_frames: int = 40,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic PROX-format recording tree (per-frame 000.pkl params,
+    cam2world json, Color.json intrinsics, OpenPose keypoint jsons,
+    mask_joint.npy) so the video pipeline runs end-to-end without real data.
+
+    The body moves in CAMERA coordinates here (the loader lifts to world)."""
+    import json
+    import os
+    import pickle
+
+    rng = np.random.default_rng(seed)
+    scene_name = recording_name.split("_")[0]
+    positions, params = synthetic_motion(model, n_frames, seed)
+
+    results_dir = os.path.join(init_root, recording_name, "results")
+    for i in range(n_frames):
+        frame_name = f"s001_frame_{i + 1:05d}"
+        os.makedirs(os.path.join(results_dir, frame_name), exist_ok=True)
+        frame_params = {
+            "global_orient": params["global_orient"][i : i + 1].astype(np.float32),
+            "transl": params["transl"][i : i + 1].astype(np.float32),
+            "betas": params["betas"][i : i + 1].astype(np.float32),
+            "body_pose": params["body_pose"][i : i + 1].astype(np.float32),
+        }
+        with open(os.path.join(results_dir, frame_name, "000.pkl"), "wb") as f:
+            pickle.dump(frame_params, f, protocol=2)
+
+    # camera extrinsics/intrinsics
+    os.makedirs(os.path.join(base_dir, "cam2world"), exist_ok=True)
+    cam2world = np.eye(4)
+    cam2world[:3, 3] = [0.1, -0.2, 0.05]
+    with open(os.path.join(base_dir, "cam2world", scene_name + ".json"), "w") as f:
+        json.dump(cam2world.tolist(), f)
+    os.makedirs(os.path.join(base_dir, "calibration"), exist_ok=True)
+    color_cam = {
+        "f": [1060.0, 1060.0],
+        "c": [960.0, 540.0],
+        "camera_mtx": [[1060.0, 0.0, 960.0], [0.0, 1060.0, 540.0], [0.0, 0.0, 1.0]],
+        "k": [0.0, 0.0, 0.0, 0.0, 0.0],
+    }
+    with open(os.path.join(base_dir, "calibration", "Color.json"), "w") as f:
+        json.dump(color_cam, f)
+
+    # keypoints: project camera-coord joints through the pinhole
+    kp_dir = os.path.join(base_dir, "keypoints_openpose", recording_name)
+    os.makedirs(kp_dir, exist_ok=True)
+    from rohm_tpu.data.video import OPENPOSE_TO_SMPL
+
+    for i in range(n_frames):
+        frame_name = f"s001_frame_{i + 1:05d}"
+        j = positions[i]  # [22, 3] camera coords
+        z = np.maximum(np.abs(j[:, 2]), 0.5)
+        uv = j[:, :2] / z[:, None] * 1060.0 + np.array([960.0, 540.0])
+        # scatter smpl-topology keypoints back into BODY_25 slots
+        kp25 = np.zeros((25, 3))
+        for smpl_j, op_j in enumerate(OPENPOSE_TO_SMPL):
+            kp25[op_j, :2] = uv[smpl_j]
+            kp25[op_j, 2] = 0.9
+        payload = {"people": [{"pose_keypoints_2d": kp25.reshape(-1).tolist()}]}
+        with open(os.path.join(kp_dir, frame_name + "_keypoints.json"), "w") as f:
+            json.dump(payload, f)
+
+    # depth-test visibility mask: all visible except an occluded leg window
+    mask = np.ones((n_frames, 25), np.int64)
+    occ_start = n_frames // 4
+    for j in (1, 4, 7, 10):
+        mask[occ_start : occ_start + 10, j] = 0
+    mask_dir = os.path.join(base_dir, "mask_joint", recording_name)
+    os.makedirs(mask_dir, exist_ok=True)
+    np.save(os.path.join(mask_dir, "mask_joint.npy"), mask)
+
+
 def write_synthetic_amass(
     root: str,
     model: SmplxModel,

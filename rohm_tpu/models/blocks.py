@@ -13,6 +13,7 @@ Structural parity notes:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
@@ -77,19 +78,33 @@ class ResidualTemporalBlock(nn.Module):
 
 
 class Downsample1d(nn.Module):
-    """Stride-2 conv, keeps channel count; T -> ceil(T/2)."""
+    """Stride-2 conv k=3, explicit pad (1,1): bit-exact torch Conv1d(3,2,1)
+    window alignment (heads.py:72-78); T even -> T/2."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(x.shape[-1], (3,), strides=(2,), padding="SAME")(x)
+        return nn.Conv(x.shape[-1], (3,), strides=(2,), padding=((1, 1),))(x)
 
 
 class Upsample1d(nn.Module):
-    """Stride-2 transposed conv, keeps channel count; T -> 2T."""
+    """Transposed conv k=4 s=2 p=1 with exact torch ConvTranspose1d semantics
+    (heads.py:81-87): input dilated by 2, padded (k-1-p)=2, convolved with the
+    flipped kernel; T -> 2T. Kernel stored in flax layout [k, in, out]."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.ConvTranspose(x.shape[-1], (4,), strides=(2,), padding="SAME")(x)
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (4, c, c))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=((2, 2),),
+            lhs_dilation=(2,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
 
 
 class ZeroConv1x1(nn.Module):

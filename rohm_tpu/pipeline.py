@@ -142,28 +142,39 @@ class RohmPipeline:
     input_noise: bool = True
     iter2_cond_noisy_pose: bool = False
     iter2_cond_noisy_traj: bool = False
+    infill_traj: bool = False
     guidance_override: tuple = field(default=None)
     _jitted: Any = field(default=None, init=False, repr=False)
 
-    def _guidance(self):
+    def _guidance(self, guidance_data: dict):
         if self.guidance_override is not None:
             return self.guidance_override
         if self.grad_type == "amass":
             return amass_guidance(self.mean, self.std, self.body_model)
+        if self.grad_type == "prox":
+            from rohm_tpu.models.guidance import prox_guidance
+
+            return prox_guidance(
+                self.mean, self.std, self.body_model,
+                guidance_data["transf_matrix"], guidance_data["cam_r"],
+                guidance_data["cam_t"], guidance_data["focal_length"],
+                guidance_data["camera_center"], guidance_data["keypoints_2d"],
+            )
         return ()
 
     def _run(
         self,
         traj_cond: jnp.ndarray,  # [B, 144, traj_feat_dim] (infill mask pre-applied)
-        traj_clean: jnp.ndarray,  # [B, 144, 294] normalized
+        traj_clean: jnp.ndarray,  # [B, 144, 294] normalized (noisy repr on video data)
         pose_noisy: jnp.ndarray,  # [B, 144, 294] normalized (clean traj dims)
         pose_mask: jnp.ndarray,  # [B, 143, 294] visibility for PoseNet cond
         traj_mask: jnp.ndarray,  # [B, 144] 1 = visible (infill)
         key: jax.Array,
+        guidance_data: dict,
     ):
         """The fused pipeline. Returns (posenet output [B,143,294],
         traj output [B,144,traj_feat_dim])."""
-        guidance = self._guidance()
+        guidance = self._guidance(guidance_data)
         early = self.early_stop_steps if self.early_stop else 0
         b, t_traj = traj_cond.shape[0], traj_cond.shape[1]
         t_pose = t_traj - 1
@@ -181,10 +192,15 @@ class RohmPipeline:
                     model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
                 )
             else:
-                if self.iter2_cond_noisy_traj:
+                if self.iter2_cond_noisy_traj and self.infill_traj:
+                    # visible noisy + predicted for occluded (test_amass_full.py:233-237)
                     cur_traj_cond = traj_cond * traj_mask[..., None] + val_output_traj * (
                         1.0 - traj_mask[..., None]
                     )
+                elif not self.iter2_cond_noisy_traj:
+                    # condition on the previous iteration's prediction
+                    # (test_amass_full.py:281 / test_prox_egobody.py:224)
+                    cur_traj_cond = val_output_traj
                 # control_cond: PoseNet pose dims, last frame duplicated
                 # (test_amass_full.py:256-260)
                 cc = val_output_pose[..., -272:]
@@ -227,11 +243,14 @@ class RohmPipeline:
             )
         return val_output_pose, val_output_traj
 
-    def run_batch(self, traj_cond, traj_clean, pose_noisy, pose_mask, traj_mask, key):
-        """Jit-cached entry; all args device-ready arrays."""
+    def run_batch(self, traj_cond, traj_clean, pose_noisy, pose_mask, traj_mask, key,
+                  guidance_data: dict | None = None):
+        """Jit-cached entry; all args device-ready arrays. guidance_data
+        carries per-batch guidance inputs (cameras/keypoints for 'prox')."""
         if self._jitted is None:
             object.__setattr__(self, "_jitted", jax.jit(self._run))
+        gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
         return self._jitted(
             jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
-            jnp.asarray(pose_mask), jnp.asarray(traj_mask), key,
+            jnp.asarray(pose_mask), jnp.asarray(traj_mask), key, gd,
         )

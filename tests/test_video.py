@@ -1,0 +1,106 @@
+"""Video (PROX-format) dataset tests over a synthetic recording tree."""
+
+import numpy as np
+import pytest
+
+from rohm_tpu.body import synthetic_model
+from rohm_tpu.data import VideoClipDataset, synthetic_amass_arrays, write_synthetic_prox
+from rohm_tpu.data.amass import AmassClipDataset
+from rohm_tpu.reprs.schema import BODY_FEAT_DIM
+
+CLIP_LEN = 17
+N_FRAMES = 40
+
+
+@pytest.fixture(scope="module")
+def body():
+    return synthetic_model(num_verts=64)
+
+
+@pytest.fixture(scope="module")
+def prox_tree(body, tmp_path_factory):
+    root = tmp_path_factory.mktemp("prox")
+    init_root = str(root / "init")
+    base_dir = str(root / "base")
+    write_synthetic_prox(init_root, base_dir, body, recording_name="MPH11_00034_01",
+                         n_frames=N_FRAMES, seed=0)
+    # stats come from an AMASS-trained run; emulate with a synthetic train set
+    clips = synthetic_amass_arrays(body, n_clips=2, clip_len=CLIP_LEN, seed=1)
+    logdir = str(root / "run")
+    AmassClipDataset(body_model=body, split="train", clip_len=CLIP_LEN,
+                     input_noise=False, task="pose", logdir=logdir, clips=clips)
+    return init_root, base_dir, logdir
+
+
+@pytest.fixture(scope="module")
+def dataset(body, prox_tree):
+    init_root, base_dir, logdir = prox_tree
+    return VideoClipDataset(
+        body_model=body, dataset="prox", init_root=init_root, base_dir=base_dir,
+        recording_name="MPH11_00034_01", task="traj", repr_abs_only=True,
+        overlap_len=2, clip_len=CLIP_LEN, logdir=logdir,
+    )
+
+
+def test_window_count(dataset):
+    # stride = 17 - 2 = 15 over 40 frames -> windows at 0 and 15
+    assert len(dataset) == 2
+
+
+def test_item_contents(dataset):
+    item = dataset[0]
+    assert item["motion_repr_noisy"].shape == (CLIP_LEN - 1, BODY_FEAT_DIM)
+    assert item["noisy_joints"].shape == (CLIP_LEN, 22, 3)
+    assert item["noisy_joints_scene_coord"].shape == (CLIP_LEN, 22, 3)
+    assert item["transf_matrix"].shape == (4, 4)
+    assert item["keypoints_2d"].shape == (CLIP_LEN, 22, 3)
+    assert item["mask_joint_vis"].shape == (CLIP_LEN, 22)
+    assert item["mask_vec_vis"].shape == (CLIP_LEN, BODY_FEAT_DIM)
+    assert item["cond"].shape == (CLIP_LEN - 1, 13)
+    assert item["control_cond"].shape == (CLIP_LEN - 1, 272)
+    assert np.isfinite(item["motion_repr_noisy"]).all()
+    assert item["focal_length"].shape == (2,) and item["camera_center"].shape == (2,)
+
+
+def test_scene_to_cano_transform_consistent(dataset):
+    """transf_matrix maps scene joints onto the canonical joints."""
+    item = dataset[0]
+    tf = item["transf_matrix"].astype(np.float64)
+    scene = item["noisy_joints_scene_coord"].astype(np.float64)
+    cano = item["noisy_joints"].astype(np.float64)
+    mapped = scene @ tf[:3, :3].T + tf[:3, 3]
+    np.testing.assert_allclose(mapped, cano, atol=1e-4)
+
+
+def test_visibility_mask_semantics(dataset):
+    item = dataset[0]
+    vis = item["mask_joint_vis"]
+    # synthetic tree occludes leg joints (1, 4, 7, 10) for a 10-frame window
+    assert vis.min() == 0.0 and vis.max() == 1.0
+    occluded_any = (vis == 0).any(axis=0)
+    assert occluded_any[[1, 4, 7, 10]].any()
+    # mask_vec_vis: traj dims always visible
+    assert (item["mask_vec_vis"][:, :22] == 1).all()
+
+
+def test_undistort_identity_when_no_distortion(dataset):
+    """With zero distortion coeffs, keypoints pass through unchanged."""
+    item = dataset[0]
+    raw = dataset.keypoints_clips[0]
+    np.testing.assert_allclose(item["keypoints_2d"][..., :2], raw[..., :2], atol=1e-3)
+    np.testing.assert_allclose(item["keypoints_2d"][..., 2], raw[..., 2], atol=1e-6)
+
+
+def test_keypoints_match_projection(dataset, body):
+    """Synthetic keypoints were made by projecting camera-coord joints; verify
+    the guidance projection math reproduces them from the scene-coord joints."""
+    item = dataset[0]
+    scene = item["noisy_joints_scene_coord"].astype(np.float64)
+    # scene -> camera: cam_R^-1 (p - cam_t)
+    cam = (scene - dataset.cam_t) @ np.linalg.inv(dataset.cam_r).T
+    z = np.maximum(np.abs(cam[..., 2]), 0.5)
+    uv = cam[..., :2] / z[..., None] * item["focal_length"] + item["camera_center"]
+    kp = item["keypoints_2d"][..., :2]
+    conf = item["keypoints_2d"][..., 2]
+    err = np.abs(uv - kp)[conf > 0]
+    assert np.median(err) < 1.0, f"median reprojection error {np.median(err)}"
