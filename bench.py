@@ -34,7 +34,7 @@ def main():
     from rohm_tpu.diffusion import make_schedule, p_sample_loop
     from rohm_tpu.models import PoseNet
 
-    model = PoseNet()
+    model = PoseNet(dtype=jnp.bfloat16)  # production mixed-precision config
     x = jnp.zeros((BATCH, T, 294), jnp.float32)
     cond = jnp.zeros((BATCH, T, 294), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))

@@ -13,6 +13,8 @@ Structural parity notes:
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -42,16 +44,20 @@ def transformer_pe_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 class Conv1dBlock(nn.Module):
-    """Conv1d(k, SAME) -> GroupNorm(8) -> Mish, on [B, T, C]."""
+    """Conv1d(k, SAME) -> GroupNorm(8) -> Mish, on [B, T, C].
+
+    dtype: computation dtype for the conv (bf16 rides the MXU on TPU);
+    GroupNorm statistics always accumulate in float32."""
 
     features: int
     kernel_size: int = 5
     n_groups: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.features, (self.kernel_size,), padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=self.n_groups)(x)
+        x = nn.Conv(self.features, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.n_groups, dtype=jnp.float32)(x)
         return mish(x)
 
 
@@ -61,17 +67,18 @@ class ResidualTemporalBlock(nn.Module):
     features: int
     input_t: bool = True
     kernel_size: int = 5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_embed: jnp.ndarray | None) -> jnp.ndarray:
-        out = Conv1dBlock(self.features, self.kernel_size)(x)
+        out = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype)(x)
         if self.input_t:
             assert t_embed is not None
-            h = nn.Dense(self.features)(mish(t_embed))  # [B, C]
+            h = nn.Dense(self.features, dtype=self.dtype)(mish(t_embed))  # [B, C]
             out = out + h[:, None, :]
-        out = Conv1dBlock(self.features, self.kernel_size)(out)
+        out = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype)(out)
         if x.shape[-1] != self.features:
-            res = nn.Conv(self.features, (1,))(x)
+            res = nn.Conv(self.features, (1,), dtype=self.dtype)(x)
         else:
             res = x
         return out + res
@@ -81,9 +88,11 @@ class Downsample1d(nn.Module):
     """Stride-2 conv k=3, explicit pad (1,1): bit-exact torch Conv1d(3,2,1)
     window alignment (heads.py:72-78); T even -> T/2."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(x.shape[-1], (3,), strides=(2,), padding=((1, 1),))(x)
+        return nn.Conv(x.shape[-1], (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype)(x)
 
 
 class Upsample1d(nn.Module):
@@ -91,14 +100,16 @@ class Upsample1d(nn.Module):
     (heads.py:81-87): input dilated by 2, padded (k-1-p)=2, convolved with the
     flipped kernel; T -> 2T. Kernel stored in flax layout [k, in, out]."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (4, c, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         y = jax.lax.conv_general_dilated(
-            x,
-            jnp.flip(kernel, axis=0),
+            x.astype(self.dtype),
+            jnp.flip(kernel, axis=0).astype(self.dtype),
             window_strides=(1,),
             padding=((2, 2),),
             lhs_dilation=(2,),
@@ -126,13 +137,14 @@ class TimeMlp(nn.Module):
     """Sinusoidal embedding -> Linear(4x) -> Mish -> Linear (trajnet.py:120-125)."""
 
     time_dim: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         h = sinusoidal_pos_emb(t, self.time_dim)
-        h = nn.Dense(self.time_dim * 4)(h)
+        h = nn.Dense(self.time_dim * 4, dtype=self.dtype)(h)
         h = mish(h)
-        return nn.Dense(self.time_dim)(h)
+        return nn.Dense(self.time_dim, dtype=self.dtype)(h)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -142,6 +154,7 @@ class TransformerEncoderLayer(nn.Module):
     num_heads: int
     ff_size: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -150,13 +163,14 @@ class TransformerEncoderLayer(nn.Module):
             qkv_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=not train,
+            dtype=self.dtype,
         )(x, x)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        x = nn.LayerNorm()(x + attn)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
 
-        h = nn.Dense(self.ff_size)(x)
+        h = nn.Dense(self.ff_size, dtype=self.dtype)(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.LayerNorm()(x + h)
+        return nn.LayerNorm(dtype=jnp.float32)(x + h)

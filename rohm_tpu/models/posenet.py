@@ -13,6 +13,8 @@ Layout: [B, T, 294]; any T (no downsampling).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,6 +32,7 @@ class PoseNet(nn.Module):
     num_heads: int = 4
     dropout: float = 0.1
     max_len: int = 5000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -46,12 +49,12 @@ class PoseNet(nn.Module):
         pe = jnp.asarray(transformer_pe_table(self.max_len, self.latent_dim))
 
         # timestep token: PE lookup + SiLU MLP (heads.py:132-147)
-        emb = nn.Dense(self.latent_dim)(pe[t])
+        emb = nn.Dense(self.latent_dim, dtype=self.dtype)(pe[t])
         emb = nn.silu(emb)
-        emb = nn.Dense(self.latent_dim)(emb)  # [B, latent]
+        emb = nn.Dense(self.latent_dim, dtype=self.dtype)(emb)  # [B, latent]
 
-        x = nn.Dense(self.latent_dim, name="input_process")(x_t)
-        c = nn.Dense(self.latent_dim, name="input_process_cond")(cond)
+        x = nn.Dense(self.latent_dim, name="input_process", dtype=self.dtype)(x_t)
+        c = nn.Dense(self.latent_dim, name="input_process_cond", dtype=self.dtype)(cond)
         h = x + c  # [B, T, latent]
 
         seq = jnp.concatenate([emb[:, None, :], h], axis=1)  # [B, T+1, latent]
@@ -61,9 +64,11 @@ class PoseNet(nn.Module):
         for i in range(self.num_layers):
             seq = TransformerEncoderLayer(
                 self.latent_dim, self.num_heads, self.ff_size, self.dropout,
-                name=f"layer_{i}",
+                dtype=self.dtype, name=f"layer_{i}",
             )(seq, train=train)
 
-        out = nn.Dense(self.pose_feat_dim, name="output_process")(seq[:, 1:])  # drop t token
+        out = nn.Dense(self.pose_feat_dim, name="output_process")(
+            seq[:, 1:].astype(jnp.float32)
+        )  # drop t token
         given_traj = cond[..., : self.traj_feat_dim]
         return jnp.concatenate([given_traj, out], axis=-1)  # [B, T, 294]

@@ -13,6 +13,8 @@ Layout: [B, T, traj_feat_dim]; T must be divisible by 16 (4 downsamples).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,21 +32,22 @@ class CondEncoder(nn.Module):
     """Noisy-trajectory encoder; returns 4 feature maps at T, T/2, T/4, T/8."""
 
     mid_dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cond: jnp.ndarray) -> list[jnp.ndarray]:
-        m = self.mid_dim
+        m, dt = self.mid_dim, self.dtype
         h = []
-        x = ResidualTemporalBlock(m // 8, input_t=False)(cond, None)
+        x = ResidualTemporalBlock(m // 8, input_t=False, dtype=dt)(cond, None)
         h.append(x)
-        x = Downsample1d()(x)
-        x = ResidualTemporalBlock(m // 4, input_t=False)(x, None)
+        x = Downsample1d(dtype=dt)(x)
+        x = ResidualTemporalBlock(m // 4, input_t=False, dtype=dt)(x, None)
         h.append(x)
-        x = Downsample1d()(x)
-        x = ResidualTemporalBlock(m // 2, input_t=False)(x, None)
+        x = Downsample1d(dtype=dt)(x)
+        x = ResidualTemporalBlock(m // 2, input_t=False, dtype=dt)(x, None)
         h.append(x)
-        x = Downsample1d()(x)
-        x = ResidualTemporalBlock(m, input_t=False)(x, None)
+        x = Downsample1d(dtype=dt)(x)
+        x = ResidualTemporalBlock(m, input_t=False, dtype=dt)(x, None)
         h.append(x)
         return h
 
@@ -54,6 +57,7 @@ class ControlNet(nn.Module):
 
     traj_feat_dim: int
     mid_dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -62,24 +66,24 @@ class ControlNet(nn.Module):
         m = self.mid_dim
         x = ZeroConv1x1(self.traj_feat_dim)(control_cond)
 
-        x = ResidualTemporalBlock(m // 8)(x, t_embed)
+        x = ResidualTemporalBlock(m // 8, dtype=self.dtype)(x, t_embed)
         zc1 = ZeroConv1x1(32)(x)
-        x = Downsample1d()(jnp.concatenate([x, h_cond[0]], axis=-1))
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[0]], axis=-1))
 
-        x = ResidualTemporalBlock(m // 4)(x, t_embed)
+        x = ResidualTemporalBlock(m // 4, dtype=self.dtype)(x, t_embed)
         zc2 = ZeroConv1x1(m // 8)(x)
-        x = Downsample1d()(jnp.concatenate([x, h_cond[1]], axis=-1))
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[1]], axis=-1))
 
-        x = ResidualTemporalBlock(m // 2)(x, t_embed)
+        x = ResidualTemporalBlock(m // 2, dtype=self.dtype)(x, t_embed)
         zc3 = ZeroConv1x1(m // 4)(x)
-        x = Downsample1d()(jnp.concatenate([x, h_cond[2]], axis=-1))
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[2]], axis=-1))
 
-        x = ResidualTemporalBlock(m)(x, t_embed)
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
         zc4 = ZeroConv1x1(m // 2)(x)
-        x = Downsample1d()(jnp.concatenate([x, h_cond[3]], axis=-1))
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[3]], axis=-1))
 
-        x = ResidualTemporalBlock(m)(x, t_embed)
-        x = ResidualTemporalBlock(m)(x, t_embed)
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
         zc_mid = ZeroConv1x1(m)(x)
         return zc1, zc2, zc3, zc4, zc_mid
 
@@ -93,6 +97,7 @@ class TrajNet(nn.Module):
     time_dim: int = 32
     trajcontrol: bool = False
     control_cond_dim: int = 272
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -105,54 +110,54 @@ class TrajNet(nn.Module):
     ) -> jnp.ndarray:
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (x_t.shape[0],))
-        t_embed = TimeMlp(self.time_dim)(t)  # [B, 32]
+        t_embed = TimeMlp(self.time_dim, dtype=self.dtype)(t)  # [B, 32]
         m = self.mid_dim
 
-        h_cond = CondEncoder(self.mid_dim)(cond)
+        h_cond = CondEncoder(self.mid_dim, dtype=self.dtype)(cond)
 
         if self.trajcontrol:
             assert control_cond is not None, "trajcontrol model needs control_cond"
-            zc1, zc2, zc3, zc4, zc_mid = ControlNet(self.traj_feat_dim, self.mid_dim)(
+            zc1, zc2, zc3, zc4, zc_mid = ControlNet(self.traj_feat_dim, self.mid_dim, dtype=self.dtype)(
                 control_cond, h_cond, t_embed
             )
 
         # encoder
-        x = ResidualTemporalBlock(m // 8)(x_t, t_embed)
+        x = ResidualTemporalBlock(m // 8, dtype=self.dtype)(x_t, t_embed)
         h1 = x
-        x = Downsample1d()(jnp.concatenate([x, h_cond[0]], axis=-1))
-        x = ResidualTemporalBlock(m // 4)(x, t_embed)
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[0]], axis=-1))
+        x = ResidualTemporalBlock(m // 4, dtype=self.dtype)(x, t_embed)
         h2 = x
-        x = Downsample1d()(jnp.concatenate([x, h_cond[1]], axis=-1))
-        x = ResidualTemporalBlock(m // 2)(x, t_embed)
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[1]], axis=-1))
+        x = ResidualTemporalBlock(m // 2, dtype=self.dtype)(x, t_embed)
         h3 = x
-        x = Downsample1d()(jnp.concatenate([x, h_cond[2]], axis=-1))
-        x = ResidualTemporalBlock(m)(x, t_embed)
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[2]], axis=-1))
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
         h4 = x
-        x = Downsample1d()(jnp.concatenate([x, h_cond[3]], axis=-1))
+        x = Downsample1d(dtype=self.dtype)(jnp.concatenate([x, h_cond[3]], axis=-1))
 
         # middle
-        x = ResidualTemporalBlock(m)(x, t_embed)
-        x = ResidualTemporalBlock(m)(x, t_embed)
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
+        x = ResidualTemporalBlock(m, dtype=self.dtype)(x, t_embed)
         if self.trajcontrol:
             x = x + zc_mid
 
         # decoder
-        x = Upsample1d()(x)
-        x = ResidualTemporalBlock(m // 2)(jnp.concatenate([x, h4], axis=-1), t_embed)
+        x = Upsample1d(dtype=self.dtype)(x)
+        x = ResidualTemporalBlock(m // 2, dtype=self.dtype)(jnp.concatenate([x, h4], axis=-1), t_embed)
         if self.trajcontrol:
             x = x + zc4
-        x = Upsample1d()(x)
-        x = ResidualTemporalBlock(m // 4)(jnp.concatenate([x, h3], axis=-1), t_embed)
+        x = Upsample1d(dtype=self.dtype)(x)
+        x = ResidualTemporalBlock(m // 4, dtype=self.dtype)(jnp.concatenate([x, h3], axis=-1), t_embed)
         if self.trajcontrol:
             x = x + zc3
-        x = Upsample1d()(x)
-        x = ResidualTemporalBlock(m // 8)(jnp.concatenate([x, h2], axis=-1), t_embed)
+        x = Upsample1d(dtype=self.dtype)(x)
+        x = ResidualTemporalBlock(m // 8, dtype=self.dtype)(jnp.concatenate([x, h2], axis=-1), t_embed)
         if self.trajcontrol:
             x = x + zc2
-        x = Upsample1d()(x)
-        x = ResidualTemporalBlock(32)(jnp.concatenate([x, h1], axis=-1), t_embed)
+        x = Upsample1d(dtype=self.dtype)(x)
+        x = ResidualTemporalBlock(32, dtype=self.dtype)(jnp.concatenate([x, h1], axis=-1), t_embed)
         if self.trajcontrol:
             x = x + zc1
 
-        x = Conv1dBlock(32, kernel_size=5)(x)
-        return nn.Conv(self.traj_feat_dim, (1,))(x)
+        x = Conv1dBlock(32, kernel_size=5, dtype=self.dtype)(x)
+        return nn.Conv(self.traj_feat_dim, (1,))(x.astype(jnp.float32))
