@@ -24,7 +24,7 @@ from rohm_tpu.diffusion.gaussian import (
     q_posterior_mean,
     q_sample,
 )
-from rohm_tpu.diffusion.sampler import GuidanceSpec, p_sample_loop
+from rohm_tpu.diffusion.sampler import GuidanceSpec, ddim_sample_loop, p_sample_loop
 
 __all__ = [
     "DiffusionSchedule",
@@ -37,4 +37,5 @@ __all__ = [
     "q_sample",
     "GuidanceSpec",
     "p_sample_loop",
+    "ddim_sample_loop",
 ]

@@ -113,3 +113,49 @@ def p_sample_loop(
     if early_stop_steps > 0:
         return pred_x0_last
     return x_final
+
+
+def ddim_sample_loop(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: DiffusionSchedule,
+    shape: tuple,
+    key: jax.Array,
+    eta: float = 0.0,
+    noise: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """DDIM reverse chain as one scan (reference keeps ddim loops at
+    gaussian_diffusion_*.py:630-854 for 'ddimN' respacing; eta=0 =
+    deterministic). Use with a respaced schedule (make_schedule(...,
+    timestep_respacing='ddimN'))."""
+    timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    if noise is None:
+        nkey = jax.random.fold_in(key, sched.num_timesteps)
+        x_init = jax.random.normal(nkey, shape, dtype)
+    else:
+        x_init = noise
+
+    def step(x, t):
+        t_model = sched.timestep_map[t]
+        pred_x0 = model_fn(x, t_model)
+        eps = (
+            sched.sqrt_recip_alphas_cumprod[t] * x - pred_x0
+        ) / sched.sqrt_recipm1_alphas_cumprod[t]
+        acp = sched.alphas_cumprod[t]
+        acp_prev = sched.alphas_cumprod_prev[t]
+        sigma = (
+            eta
+            * jnp.sqrt((1 - acp_prev) / (1 - acp))
+            * jnp.sqrt(1 - acp / acp_prev)
+        )
+        mean = (
+            jnp.sqrt(acp_prev) * pred_x0
+            + jnp.sqrt(jnp.maximum(1.0 - acp_prev - sigma**2, 0.0)) * eps
+        )
+        step_key = jax.random.fold_in(key, t)
+        noise_t = jax.random.normal(step_key, shape, dtype)
+        nonzero = (t != 0).astype(dtype)
+        return mean + nonzero * sigma * noise_t, None
+
+    x_final, _ = jax.lax.scan(step, x_init, timesteps)
+    return x_final

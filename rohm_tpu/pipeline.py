@@ -144,6 +144,7 @@ class RohmPipeline:
     iter2_cond_noisy_traj: bool = False
     infill_traj: bool = False
     guidance_override: tuple = field(default=None)
+    mesh: Any = None  # optional jax.sharding.Mesh: shard the batch on 'data'
     _jitted: Any = field(default=None, init=False, repr=False)
 
     def _guidance(self, guidance_data: dict):
@@ -246,9 +247,26 @@ class RohmPipeline:
     def run_batch(self, traj_cond, traj_clean, pose_noisy, pose_mask, traj_mask, key,
                   guidance_data: dict | None = None):
         """Jit-cached entry; all args device-ready arrays. guidance_data
-        carries per-batch guidance inputs (cameras/keypoints for 'prox')."""
+        carries per-batch guidance inputs (cameras/keypoints for 'prox').
+        With a mesh set, batch-leading args are split over the 'data' axis
+        (params replicated) so eval scales across chips."""
         if self._jitted is None:
-            object.__setattr__(self, "_jitted", jax.jit(self._run))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                object.__setattr__(
+                    self,
+                    "_jitted",
+                    jax.jit(
+                        self._run,
+                        in_shardings=(data, data, data, data, data, rep, rep),
+                        out_shardings=(data, data),
+                    ),
+                )
+            else:
+                object.__setattr__(self, "_jitted", jax.jit(self._run))
         gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
         return self._jitted(
             jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
