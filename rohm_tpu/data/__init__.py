@@ -15,6 +15,7 @@ from rohm_tpu.data.synthetic import (
     synthetic_clip_batch,
     synthetic_motion,
     write_synthetic_amass,
+    write_synthetic_egobody,
     write_synthetic_prox,
 )
 from rohm_tpu.data.video import VideoClipDataset
@@ -29,6 +30,7 @@ __all__ = [
     "synthetic_clip_batch",
     "synthetic_amass_arrays",
     "write_synthetic_amass",
+    "write_synthetic_egobody",
     "write_synthetic_prox",
     "VideoClipDataset",
 ]

@@ -182,6 +182,89 @@ def write_synthetic_prox(
     np.save(os.path.join(mask_dir, "mask_joint.npy"), mask)
 
 
+def write_synthetic_egobody(
+    init_root: str,
+    base_dir: str,
+    model: SmplxModel,
+    recording_name: str = "recording_20211004_S12_S20_01",
+    scene_name: str = "seminar_g110",
+    view: str = "sub_1",
+    n_frames: int = 40,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic EgoBody-format tree: info/splits CSVs, kinect
+    calibration chain, per-frame init + GT pkls, cleaned keypoints, masks."""
+    import json
+    import os
+    import pickle
+
+    body_idx = 0
+    positions, params = synthetic_motion(model, n_frames, seed)
+
+    # csvs
+    os.makedirs(base_dir, exist_ok=True)
+    with open(os.path.join(base_dir, "egobody_rohm_info.csv"), "w") as f:
+        f.write("recording_name,target_idx,target_gender,view,scene_name,body_idx_fpv\n")
+        f.write(f"{recording_name},{body_idx},female,{view},{scene_name},0 female\n")
+    with open(os.path.join(base_dir, "data_splits.csv"), "w") as f:
+        f.write("train,val,test\n")
+        f.write(f",,{recording_name}\n")
+
+    # calibration chain: master->world and sub->master
+    calib = os.path.join(base_dir, "calibrations", recording_name, "cal_trans")
+    os.makedirs(os.path.join(calib, "kinect12_to_world"), exist_ok=True)
+    m2w = np.eye(4)
+    m2w[:3, 3] = [0.2, 0.1, -0.1]
+    with open(os.path.join(calib, "kinect12_to_world", scene_name + ".json"), "w") as f:
+        json.dump({"trans": m2w.tolist()}, f)
+    s2m = np.eye(4)
+    s2m[:3, 3] = [0.05, 0.0, 0.02]
+    with open(os.path.join(calib, "kinect_11to12_color.json"), "w") as f:
+        json.dump({"trans": s2m.tolist()}, f)
+
+    cam_dir = os.path.join(base_dir, "kinect_cam_params", f"kinect_{view}")
+    os.makedirs(cam_dir, exist_ok=True)
+    with open(os.path.join(cam_dir, "Color.json"), "w") as f:
+        json.dump({"f": [980.0, 980.0], "c": [960.0, 540.0]}, f)
+
+    # per-frame init + GT pkls (same motion for both; GT uses gendered model
+    # in the loader, here the same synthetic body)
+    fit_dir = os.path.join(init_root, recording_name, f"body_idx_{body_idx}", "results")
+    gt_dir = os.path.join(
+        base_dir, "smplx_interactee_test", recording_name, f"body_idx_{body_idx}", "results"
+    )
+    kp_dir = os.path.join(base_dir, "keypoints_cleaned", recording_name, view)
+    os.makedirs(kp_dir, exist_ok=True)
+    from rohm_tpu.data.video import OPENPOSE_TO_SMPL
+
+    for i in range(n_frames):
+        frame_name = f"frame_{i + 1:05d}"
+        for d in (fit_dir, gt_dir):
+            os.makedirs(os.path.join(d, frame_name), exist_ok=True)
+            payload = {
+                "global_orient": params["global_orient"][i : i + 1].astype(np.float32),
+                "transl": params["transl"][i : i + 1].astype(np.float32),
+                "betas": params["betas"][i : i + 1].astype(np.float32),
+                "body_pose": params["body_pose"][i : i + 1].astype(np.float32),
+            }
+            with open(os.path.join(d, frame_name, "000.pkl"), "wb") as f:
+                pickle.dump(payload, f, protocol=2)
+        j = positions[i]
+        z = np.maximum(np.abs(j[:, 2]), 0.5)
+        uv = j[:, :2] / z[:, None] * 980.0 + np.array([960.0, 540.0])
+        kp25 = np.zeros((25, 3))
+        for smpl_j, op_j in enumerate(OPENPOSE_TO_SMPL):
+            kp25[op_j, :2] = uv[smpl_j]
+            kp25[op_j, 2] = 0.9
+        with open(os.path.join(kp_dir, frame_name + "_keypoints.json"), "w") as f:
+            json.dump({"people": [{"pose_keypoints_2d": kp25.reshape(-1).tolist()}]}, f)
+
+    mask = np.ones((n_frames, 25), np.int64)
+    mask_dir = os.path.join(base_dir, "mask_joint", recording_name, view)
+    os.makedirs(mask_dir, exist_ok=True)
+    np.save(os.path.join(mask_dir, "mask_joint.npy"), mask)
+
+
 def write_synthetic_amass(
     root: str,
     model: SmplxModel,
