@@ -140,7 +140,7 @@ def main(argv=None):
         input_noise=args.input_noise, start_prox_mask_epoch=args.start_prox_mask_epoch,
         start_skating_loss_epoch=args.start_skating_loss_epoch,
         mask_scheme=args.mask_scheme, prox_mask_bank=prox_bank, writer=writer,
-        seed=args.seed,
+        seed=args.seed, run_logger=logger,
     )
     loop.run_loop()
     loop.save()

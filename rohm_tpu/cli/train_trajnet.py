@@ -159,7 +159,7 @@ def main(argv=None):
         start_infill_epoch=args.start_infill_epoch, mask_prob=args.mask_prob,
         max_infill_ratio=args.max_infill_ratio, repr_abs_only=args.repr_abs_only,
         trajcontrol=args.trajcontrol, frozen_mask=frozen_mask, writer=writer,
-        seed=args.seed,
+        seed=args.seed, run_logger=logger,
     )
     loop.run_loop()
     loop.save()

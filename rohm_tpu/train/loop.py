@@ -75,8 +75,10 @@ class TrainLoopTrajNet:
         writer=None,
         seed: int = 0,
         mesh=None,
+        run_logger=None,
     ):
         self.model = model
+        self.logger = run_logger or logger
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.batch_size = batch_size
@@ -129,7 +131,7 @@ class TrainLoopTrajNet:
                 self.state, losses = self.train_step(self.state, batch, self._next_key())
 
                 if self.step % self.log_interval == 0 and self.step > 0:
-                    _log_losses(self.writer, logger, "train", losses, self.step, epoch)
+                    _log_losses(self.writer, self.logger, "train", losses, self.step, epoch)
                     self._eval(epoch)
                 if self.step % self.save_interval == 0 and self.step > 0:
                     self.save()
@@ -149,11 +151,11 @@ class TrainLoopTrajNet:
             agg = losses if agg is None else {k: agg[k] + losses[k] for k in agg}
             n += 1
         if agg:
-            _log_losses(self.writer, logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
+            _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
     def save(self):
         save_checkpoint(self.logdir, self.step, self.state.params)
-        logger.info("[*] model saved")
+        self.logger.info("[*] model saved")
 
 
 class TrainLoopPoseNet:
@@ -184,8 +186,10 @@ class TrainLoopPoseNet:
         writer=None,
         seed: int = 0,
         mesh=None,
+        run_logger=None,
     ):
         self.model = model
+        self.logger = run_logger or logger
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.batch_size = batch_size
@@ -249,7 +253,7 @@ class TrainLoopPoseNet:
                     self.state, step_batch, self._next_key(), skating
                 )
                 if self.step % self.log_interval == 0 and self.step > 0:
-                    _log_losses(self.writer, logger, "train", losses, self.step, epoch)
+                    _log_losses(self.writer, self.logger, "train", losses, self.step, epoch)
                     self._eval(epoch)
                 if self.step % self.save_interval == 0 and self.step > 0:
                     self.save()
@@ -267,8 +271,8 @@ class TrainLoopPoseNet:
             agg = losses if agg is None else {k: agg[k] + losses[k] for k in agg}
             n += 1
         if agg:
-            _log_losses(self.writer, logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
+            _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
     def save(self):
         save_checkpoint(self.logdir, self.step, self.state.params)
-        logger.info("[*] model saved")
+        self.logger.info("[*] model saved")
