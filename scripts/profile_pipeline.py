@@ -41,7 +41,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     print(f"device: {jax.devices()[0].platform}")
-    for batch in (32, 64, 128):
+    batches = [int(b) for b in (sys.argv[1:] or ["32", "128"])]
+    for batch in batches:
         trajnet = TrajNet(traj_feat_dim=13, cond_dim=13)
         p_traj = trajnet.init(key, jnp.zeros((1, T, 13)), jnp.zeros((1, T, 13)),
                               jnp.zeros((1,), jnp.int32))
