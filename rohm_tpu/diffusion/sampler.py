@@ -68,7 +68,8 @@ def p_sample_loop(
     Returns: final sample [B, T, D] (or final pred_x0 when early stopping).
     """
     num_steps = sched.num_timesteps - int(early_stop_steps > 0) * early_stop_steps
-    timesteps = jnp.arange(sched.num_timesteps - 1, sched.num_timesteps - 1 - num_steps, -1)
+    t_hi = sched.num_timesteps - 1  # first (noisiest) step
+    t_lo = sched.num_timesteps - num_steps  # last step executed
 
     if noise is None:
         # step keys are fold_in(key, t) for t < num_timesteps; this one is distinct
@@ -77,39 +78,66 @@ def p_sample_loop(
     else:
         x_init = noise
 
-    def guidance_shift(pred_x0, t, var):
+    def guidance_shift(pred_x0, t, var, active: tuple[bool, ...]):
+        """Sum of guidance mean-shifts. `active[i]` statically includes spec i
+        unconditionally; inactive specs with a threshold inside this scan
+        segment fall back to a lax.cond gate."""
         shift = jnp.zeros_like(pred_x0)
-        for spec in guidance:
+        for spec, is_active in zip(guidance, active):
             def apply(x0, s=spec):
                 g = -jax.grad(s.loss_fn)(x0)
                 if s.grad_mask is not None:
                     g = g * s.grad_mask
                 return s.weight * var * g
 
-            shift = shift + jax.lax.cond(
-                t <= spec.t_threshold,
-                apply,
-                lambda x0: jnp.zeros_like(x0),
-                pred_x0,
-            )
+            if is_active:
+                shift = shift + apply(pred_x0)
+            else:
+                shift = shift + jax.lax.cond(
+                    t <= spec.t_threshold,
+                    apply,
+                    lambda x0: jnp.zeros_like(x0),
+                    pred_x0,
+                )
         return shift
 
-    def step(carry, t):
-        x, _ = carry
-        t_model = sched.timestep_map[t]
-        pred_x0 = model_fn(x, t_model)
-        mean, var, log_var = p_mean_from_x0(sched, pred_x0, x, t)
-        if guidance:
-            mean = mean + guidance_shift(pred_x0, t, var)
-        step_key = jax.random.fold_in(key, t)
-        noise_t = jax.random.normal(step_key, shape, dtype)
-        nonzero = (t != 0).astype(dtype)
-        x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise_t
-        # carry (not stack) the newest pred_x0 — stacking 1000 steps of
-        # [B, T, 294] would not fit in HBM
-        return (x_next, pred_x0), None
+    def make_step(active: tuple[bool, ...] | None):
+        def step(carry, t):
+            x, _ = carry
+            t_model = sched.timestep_map[t]
+            pred_x0 = model_fn(x, t_model)
+            mean, var, log_var = p_mean_from_x0(sched, pred_x0, x, t)
+            if active is not None:
+                mean = mean + guidance_shift(pred_x0, t, var, active)
+            step_key = jax.random.fold_in(key, t)
+            noise_t = jax.random.normal(step_key, shape, dtype)
+            nonzero = (t != 0).astype(dtype)
+            x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise_t
+            # carry (not stack) the newest pred_x0 — stacking 1000 steps of
+            # [B, T, 294] would not fit in HBM
+            return (x_next, pred_x0), None
 
-    (x_final, pred_x0_last), _ = jax.lax.scan(step, (x_init, x_init), timesteps)
+        return step
+
+    carry = (x_init, x_init)
+    if guidance:
+        # split the chain at the highest guidance threshold: the upper segment
+        # runs with no guidance machinery at all, the lower with each
+        # spec applied (statically where its threshold covers the segment) —
+        # leaner compile and no per-step cond dispatch (reference embeds the
+        # t-threshold branches in p_sample_with_grad, _posenet.py:461-477)
+        thr = max(s.t_threshold for s in guidance)
+        split = min(thr, t_hi)  # last guided t
+        if split < t_hi:
+            ts_upper = jnp.arange(t_hi, max(split, t_lo - 1), -1)
+            carry, _ = jax.lax.scan(make_step(None), carry, ts_upper)
+        ts_lower = jnp.arange(min(split, t_hi), t_lo - 1, -1)
+        active = tuple(s.t_threshold >= split for s in guidance)
+        carry, _ = jax.lax.scan(make_step(active), carry, ts_lower)
+    else:
+        timesteps = jnp.arange(t_hi, t_lo - 1, -1)
+        carry, _ = jax.lax.scan(make_step(None), carry, timesteps)
+    x_final, pred_x0_last = carry
     if early_stop_steps > 0:
         return pred_x0_last
     return x_final
