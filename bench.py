@@ -31,6 +31,9 @@ STEPS = 1000
 
 
 def main():
+    from rohm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from rohm_tpu.diffusion import make_schedule, p_sample_loop
     from rohm_tpu.models import PoseNet
 
@@ -39,7 +42,7 @@ def main():
     model = PoseNet()
     x = jnp.zeros((BATCH, T, 294), jnp.float32)
     cond = jnp.zeros((BATCH, T, 294), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))
     sched = make_schedule("cosine", STEPS)
 
     @jax.jit

@@ -74,7 +74,9 @@ def init_trajnet_params(model: TrajNet, clip_len: int, seed: int = 0):
     kwargs = {}
     if model.trajcontrol:
         kwargs["control_cond"] = jnp.zeros((1, t, model.control_cond_dim))
-    return model.init(
+    # jitted init: one compiled program instead of per-op dispatch (critical
+    # on remote-tunneled devices where each eager op is a network roundtrip)
+    return jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, t, d)), jnp.zeros((1, t, model.cond_dim)),
         jnp.zeros((1,), jnp.int32), **kwargs,
@@ -83,7 +85,7 @@ def init_trajnet_params(model: TrajNet, clip_len: int, seed: int = 0):
 
 def init_posenet_params(model: PoseNet, clip_len: int, seed: int = 0):
     t = clip_len - 1
-    return model.init(
+    return jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, t, model.body_feat_dim)),
         jnp.zeros((1, t, model.body_feat_dim)),

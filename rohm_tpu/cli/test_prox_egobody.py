@@ -67,6 +67,9 @@ def build_parser() -> ConfigParser:
 
 
 def main(argv=None):
+    from rohm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     body = resolve_body_model(args.body_model_path)
 

@@ -68,6 +68,9 @@ def build_parser() -> ConfigParser:
 
 
 def main(argv=None):
+    from rohm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     logdir = make_logdir(args.save_dir)
     logger = setup_logger(logdir)

@@ -38,3 +38,15 @@ def save_params_json(logdir: str, args) -> None:
     """Dump the resolved config as params.json (reference other_utils.py:113-117)."""
     with open(os.path.join(logdir, "params.json"), "w") as f:
         json.dump({k: v for k, v in sorted(vars(args).items())}, f, indent=2, default=str)
+
+
+def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compilation cache: compiles on this tunneled v5e take
+    1-2 min per program, so cache hits across runs matter a lot."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -26,8 +26,10 @@ from rohm_tpu.pipeline import traj_to_pose_bridge
 T = 144
 
 
-def timeit(fn, *args, n=3):
+def timeit(fn, *args, n=3, tag=""):
+    t0 = time.perf_counter()
     fn(*args).block_until_ready()  # compile
+    print(f"  [{tag}] compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         fn(*args).block_until_ready()
@@ -35,6 +37,9 @@ def timeit(fn, *args, n=3):
 
 
 def main():
+    from rohm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     body = synthetic_model(num_verts=64)
     mean = jnp.zeros(294)
     std = jnp.ones(294)
@@ -44,10 +49,10 @@ def main():
     batches = [int(b) for b in (sys.argv[1:] or ["32", "128"])]
     for batch in batches:
         trajnet = TrajNet(traj_feat_dim=13, cond_dim=13)
-        p_traj = trajnet.init(key, jnp.zeros((1, T, 13)), jnp.zeros((1, T, 13)),
+        p_traj = jax.jit(trajnet.init)(key, jnp.zeros((1, T, 13)), jnp.zeros((1, T, 13)),
                               jnp.zeros((1,), jnp.int32))
         posenet = PoseNet()
-        p_pose = posenet.init(key, jnp.zeros((1, T - 1, 294)), jnp.zeros((1, T - 1, 294)),
+        p_pose = jax.jit(posenet.init)(key, jnp.zeros((1, T - 1, 294)), jnp.zeros((1, T - 1, 294)),
                               jnp.zeros((1,), jnp.int32))
         sched_t = make_schedule("cosine", 100)
         sched_p = make_schedule("cosine", 1000)
@@ -76,10 +81,10 @@ def main():
         def run_bridge(tr, fl):
             return traj_to_pose_bridge(tr, fl, mean, std, body)
 
-        tt = timeit(run_traj, cond_t, key)
-        tp = timeit(run_pose, cond_p, key)
-        tg = timeit(run_pose_guided, cond_p, key)
-        tb = timeit(run_bridge, jnp.zeros((batch, T, 13)), full)
+        tt = timeit(run_traj, cond_t, key, tag="traj")
+        tp = timeit(run_pose, cond_p, key, tag="pose")
+        tg = timeit(run_pose_guided, cond_p, key, tag="pose+guide")
+        tb = timeit(run_bridge, jnp.zeros((batch, T, 13)), full, tag="bridge")
         total = 2 * (tt + tg + tb)
         print(
             f"bs={batch:4d}  trajnet100={tt*1e3:8.1f}ms  posenet1000={tp*1e3:8.1f}ms  "
