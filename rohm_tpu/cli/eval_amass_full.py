@@ -76,9 +76,11 @@ def main(argv=None):
     print("ground_pene_dist score (mm): {:0.2f}".format(m["ground_pene_dist_mm"]))
 
     if args.visualize or args.render:
+        from rohm_tpu.cli.common import resolve_body_model
         from rohm_tpu.viz import visualize_amass_results
 
-        visualize_amass_results(saved_data, render=args.render)
+        body = resolve_body_model(args.body_model_path) if args.render else None
+        visualize_amass_results(saved_data, render=args.render, body_model=body)
     return m
 
 

