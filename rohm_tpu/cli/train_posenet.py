@@ -64,6 +64,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--synthetic_data", type=bool, default=False)
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=bool, default=False)
     return p
 
 
@@ -134,6 +135,19 @@ def main(argv=None):
     sched_eval = make_schedule(args.noise_schedule, args.diffusion_steps, args.timestep_respacing_eval)
     weights = {k: getattr(args, k) for k in vars(args) if k.startswith("weight_loss_")}
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from rohm_tpu.parallel import data_parallel_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = data_parallel_mesh()
+            assert args.batch_size % mesh.size == 0, (
+                f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
+            )
+            logger.info("data-parallel over %d devices", mesh.size)
+
     loop = TrainLoopPoseNet(
         model=model, params=params, sched_train=sched_train, sched_eval=sched_eval,
         train_dataset=train_dataset, test_dataset=test_dataset, body_model=body,
@@ -143,7 +157,7 @@ def main(argv=None):
         input_noise=args.input_noise, start_prox_mask_epoch=args.start_prox_mask_epoch,
         start_skating_loss_epoch=args.start_skating_loss_epoch,
         mask_scheme=args.mask_scheme, prox_mask_bank=prox_bank, writer=writer,
-        seed=args.seed, run_logger=logger,
+        seed=args.seed, run_logger=logger, mesh=mesh,
     )
     loop.run_loop()
     loop.save()

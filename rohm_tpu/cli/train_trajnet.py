@@ -76,6 +76,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--synthetic_data", type=bool, default=False)
     p.add_argument("--mid_dim", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=bool, default=False)
     return p
 
 
@@ -153,6 +154,19 @@ def main(argv=None):
     sched_eval = make_schedule(args.noise_schedule, args.diffusion_steps, args.timestep_respacing_eval)
 
     weights = {k: getattr(args, k) for k in vars(args) if k.startswith("weight_loss_")}
+
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from rohm_tpu.parallel import data_parallel_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = data_parallel_mesh()
+            assert args.batch_size % mesh.size == 0, (
+                f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
+            )
+            logger.info("data-parallel over %d devices", mesh.size)
     loop = TrainLoopTrajNet(
         model=model, params=params, sched_train=sched_train, sched_eval=sched_eval,
         train_dataset=train_dataset, test_dataset=test_dataset, body_model=body,
@@ -162,7 +176,7 @@ def main(argv=None):
         start_infill_epoch=args.start_infill_epoch, mask_prob=args.mask_prob,
         max_infill_ratio=args.max_infill_ratio, repr_abs_only=args.repr_abs_only,
         trajcontrol=args.trajcontrol, frozen_mask=frozen_mask, writer=writer,
-        seed=args.seed, run_logger=logger,
+        seed=args.seed, run_logger=logger, mesh=mesh,
     )
     loop.run_loop()
     loop.save()

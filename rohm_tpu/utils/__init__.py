@@ -3,6 +3,7 @@
 from rohm_tpu.utils.config import ConfigParser, str2bool
 from rohm_tpu.utils.runlog import (
     enable_compilation_cache,
+    fixseed,
     make_logdir,
     save_params_json,
     setup_logger,
@@ -15,4 +16,5 @@ __all__ = [
     "save_params_json",
     "setup_logger",
     "enable_compilation_cache",
+    "fixseed",
 ]

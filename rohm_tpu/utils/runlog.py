@@ -50,3 +50,17 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+def fixseed(seed: int):
+    """Seed python/numpy RNGs and return a jax PRNG key (reference
+    utils/fixseed.py:6-10; cudnn flags have no TPU equivalent)."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)
