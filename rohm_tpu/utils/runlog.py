@@ -41,10 +41,20 @@ def save_params_json(logdir: str, args) -> None:
 
 
 def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
-    """Persistent XLA compilation cache: compiles on this tunneled v5e take
-    1-2 min per program, so cache hits across runs matter a lot."""
+    """Entry-point JAX setup: honor JAX_PLATFORMS (site plugins may override
+    the env var with their own platform registration) and enable the
+    persistent XLA compilation cache (compiles on the tunneled v5e take
+    1-2 min per program, so cache hits across runs matter a lot)."""
+    import os
+
     import jax
 
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
