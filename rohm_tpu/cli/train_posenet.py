@@ -65,6 +65,8 @@ def build_parser() -> ConfigParser:
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=bool, default=False)
+    p.add_argument("--save_optimizer", type=bool, default=False)
+    p.add_argument("--resume_from", type=str, default="")
     return p
 
 
@@ -158,7 +160,10 @@ def main(argv=None):
         start_skating_loss_epoch=args.start_skating_loss_epoch,
         mask_scheme=args.mask_scheme, prox_mask_bank=prox_bank, writer=writer,
         seed=args.seed, run_logger=logger, mesh=mesh,
+        save_optimizer=args.save_optimizer,
     )
+    if args.resume_from:
+        loop.restore(args.resume_from)
     loop.run_loop()
     loop.save()
     return loop

@@ -77,6 +77,8 @@ def build_parser() -> ConfigParser:
     p.add_argument("--mid_dim", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=bool, default=False)
+    p.add_argument("--save_optimizer", type=bool, default=False)
+    p.add_argument("--resume_from", type=str, default="")
     return p
 
 
@@ -177,7 +179,10 @@ def main(argv=None):
         max_infill_ratio=args.max_infill_ratio, repr_abs_only=args.repr_abs_only,
         trajcontrol=args.trajcontrol, frozen_mask=frozen_mask, writer=writer,
         seed=args.seed, run_logger=logger, mesh=mesh,
+        save_optimizer=args.save_optimizer,
     )
+    if args.resume_from:
+        loop.restore(args.resume_from)
     loop.run_loop()
     loop.save()
     return loop

@@ -76,9 +76,11 @@ class TrainLoopTrajNet:
         seed: int = 0,
         mesh=None,
         run_logger=None,
+        save_optimizer: bool = False,
     ):
         self.model = model
         self.logger = run_logger or logger
+        self.save_optimizer = save_optimizer
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.batch_size = batch_size
@@ -154,8 +156,34 @@ class TrainLoopTrajNet:
             _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
     def save(self):
-        save_checkpoint(self.logdir, self.step, self.state.params)
+        save_checkpoint(
+            self.logdir, self.step, self.state.params,
+            opt_state=self.state.opt_state if self.save_optimizer else None,
+        )
         self.logger.info("[*] model saved")
+
+    def restore(self, ckpt_path: str):
+        """Resume params (+ optimizer state when present) from an orbax dir;
+        step resumes from the checkpoint's name."""
+        import os
+        import re
+
+        from rohm_tpu.train.checkpoint import load_checkpoint
+
+        like = {"params": self.state.params, "opt_state": self.state.opt_state}
+        try:
+            restored = load_checkpoint(ckpt_path, like)
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"]
+            )
+            self.logger.info("restored params + optimizer state from %s", ckpt_path)
+        except Exception:
+            restored = load_checkpoint(ckpt_path, {"params": self.state.params})
+            self.state = self.state.replace(params=restored["params"])
+            self.logger.info("restored params (no optimizer state) from %s", ckpt_path)
+        m = re.search(r"model(\d+)$", os.path.basename(ckpt_path.rstrip("/")))
+        if m:
+            self.step = int(m.group(1))
 
 
 class TrainLoopPoseNet:
@@ -187,9 +215,11 @@ class TrainLoopPoseNet:
         seed: int = 0,
         mesh=None,
         run_logger=None,
+        save_optimizer: bool = False,
     ):
         self.model = model
         self.logger = run_logger or logger
+        self.save_optimizer = save_optimizer
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.batch_size = batch_size
@@ -274,5 +304,31 @@ class TrainLoopPoseNet:
             _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
     def save(self):
-        save_checkpoint(self.logdir, self.step, self.state.params)
+        save_checkpoint(
+            self.logdir, self.step, self.state.params,
+            opt_state=self.state.opt_state if self.save_optimizer else None,
+        )
         self.logger.info("[*] model saved")
+
+    def restore(self, ckpt_path: str):
+        """Resume params (+ optimizer state when present) from an orbax dir;
+        step resumes from the checkpoint's name."""
+        import os
+        import re
+
+        from rohm_tpu.train.checkpoint import load_checkpoint
+
+        like = {"params": self.state.params, "opt_state": self.state.opt_state}
+        try:
+            restored = load_checkpoint(ckpt_path, like)
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"]
+            )
+            self.logger.info("restored params + optimizer state from %s", ckpt_path)
+        except Exception:
+            restored = load_checkpoint(ckpt_path, {"params": self.state.params})
+            self.state = self.state.replace(params=restored["params"])
+            self.logger.info("restored params (no optimizer state) from %s", ckpt_path)
+        m = re.search(r"model(\d+)$", os.path.basename(ckpt_path.rstrip("/")))
+        if m:
+            self.step = int(m.group(1))
