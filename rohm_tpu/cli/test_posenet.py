@@ -150,6 +150,15 @@ def main(argv=None):
         all_rec.append(j_rec)
         all_repr_clean.append(clean)
         all_repr_rec.append(rec)
+
+        if args.visualize:
+            from rohm_tpu.viz import animate_skeletons
+            from rohm_tpu.viz.skeleton import COLOR_GT, COLOR_VIS
+
+            animate_skeletons(
+                [j_clean[0], j_rec[0]], [COLOR_GT, COLOR_VIS],
+                contact=(rec[0, :, -4:] > 0.5).astype(float),
+            )
         if args.input_noise:
             noisy = batch["motion_repr_noisy"] * std + mean
             all_noisy.append(

@@ -178,6 +178,16 @@ def main(argv=None):
         errs["jitter_clean"].append(jitter(root(j_clean)))
         errs["jitter_noisy"].append(jitter(root(j_noisy)))
 
+        if args.visualize:
+            from rohm_tpu.viz import animate_skeletons
+            from rohm_tpu.viz.skeleton import COLOR_GT, COLOR_OCC, COLOR_VIS
+
+            # [red GT] [yellow noisy] [blue rec] (test_trajnet.py:265-328)
+            animate_skeletons(
+                [j_clean[0], j_noisy[0], j_smpl[0]],
+                [COLOR_GT, COLOR_OCC, COLOR_VIS],
+            )
+
     results = {k: float(np.concatenate(v).mean()) for k, v in errs.items() if v}
     print("root_rot_err_rec (deg): {:0.3f}".format(np.rad2deg(results["root_rot"])))
     for tag in ["abs", "rel", "smpl"]:

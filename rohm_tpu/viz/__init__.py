@@ -7,6 +7,17 @@ visualization branches of the eval scripts.
 """
 
 from rohm_tpu.viz.skeleton import LIMBS_BODY_SMPL
-from rohm_tpu.viz.results import visualize_amass_results
+from rohm_tpu.viz.results import (
+    animate_skeletons,
+    render_amass_results,
+    render_prox_overlay,
+    visualize_amass_results,
+)
 
-__all__ = ["LIMBS_BODY_SMPL", "visualize_amass_results"]
+__all__ = [
+    "LIMBS_BODY_SMPL",
+    "visualize_amass_results",
+    "render_amass_results",
+    "render_prox_overlay",
+    "animate_skeletons",
+]
