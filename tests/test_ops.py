@@ -1,0 +1,43 @@
+"""Pallas fused-transformer-layer parity tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rohm_tpu.models import PoseNet
+from rohm_tpu.models.blocks import TransformerEncoderLayer
+from rohm_tpu.ops import fused_encoder_layer, posenet_apply_fused
+
+D, HEADS, FF, LAYERS = 64, 4, 128, 2
+B, T = 2, 15
+
+
+@pytest.fixture(scope="module")
+def posenet_setup():
+    model = PoseNet(latent_dim=D, ff_size=FF, num_layers=LAYERS, num_heads=HEADS, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 294))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, T, 294))
+    t = jnp.array([5, 900])
+    params = model.init(jax.random.PRNGKey(0), x, cond, t)
+    return model, params, x, cond, t
+
+
+def test_fused_layer_matches_flax(posenet_setup):
+    _, params, *_ = posenet_setup
+    layer_params = params["params"]["layer_0"]
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T + 1, D))
+
+    flax_layer = TransformerEncoderLayer(D, HEADS, FF, dropout=0.0)
+    ref = flax_layer.apply({"params": layer_params}, x, train=False)
+    out = fused_encoder_layer(x, layer_params, num_heads=HEADS, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_posenet_fused_matches_flax(posenet_setup):
+    model, params, x, cond, t = posenet_setup
+    ref = model.apply(params, x, cond, t)
+    out = posenet_apply_fused(
+        params, x, cond, t, num_layers=LAYERS, num_heads=HEADS, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
