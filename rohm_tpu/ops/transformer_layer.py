@@ -23,6 +23,17 @@ from jax.experimental.pallas import tpu as pltpu
 LN_EPS = 1e-6  # flax LayerNorm default
 
 
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7) — Pallas TPU has
+    no erf/erfc lowering; only exp is needed."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _layer_kernel(
     x_ref,          # [1, S, D] input sequence block
     wq_ref, bq_ref,  # [D, D], [D]
@@ -61,9 +72,9 @@ def _layer_kernel(
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln1_s_ref[:] + ln1_b_ref[:]
 
-    # feed-forward
+    # feed-forward; exact-gelu via polynomial erf (no erf lowering in Pallas TPU)
     h1 = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h1 = jax.nn.gelu(h1, approximate=False)
+    h1 = 0.5 * h1 * (1.0 + _erf(h1 * 0.7071067811865476))
     h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
 
     # post-LN residual 2
