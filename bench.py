@@ -37,18 +37,20 @@ def main():
     from rohm_tpu.diffusion import make_schedule, p_sample_loop
     from rohm_tpu.models import PoseNet
 
-    # f32 measured faster than bf16 at this shape on the attached chip (per-op
-    # weight casts inside the scan dominate); bf16 stays opt-in via dtype.
+    # Production inference config: f32 params + Pallas fused encoder layers
+    # (686 vs 557 steps/s flax on v5e; bf16 per-op casts measured slower).
     model = PoseNet()
     x = jnp.zeros((BATCH, T, 294), jnp.float32)
     cond = jnp.zeros((BATCH, T, 294), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))
     sched = make_schedule("cosine", STEPS)
 
+    from rohm_tpu.ops import posenet_apply_fused
+
     @jax.jit
     def sample(key):
         def model_fn(xt, t):
-            return model.apply(params, xt, cond, t)
+            return posenet_apply_fused(params, xt, cond, t)
 
         return p_sample_loop(model_fn, sched, (BATCH, T, 294), key)
 

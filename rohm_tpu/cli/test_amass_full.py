@@ -71,6 +71,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--mid_dim", type=int, default=512)
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--fused_posenet", type=bool, default=False)
     return p
 
 
@@ -188,6 +189,7 @@ def main(argv=None):
         mask_scheme=args.mask_scheme, input_noise=args.input_noise,
         iter2_cond_noisy_pose=args.iter2_cond_noisy_pose,
         iter2_cond_noisy_traj=args.iter2_cond_noisy_traj,
+        fused_posenet=args.fused_posenet,
     )
 
     out = {

@@ -60,6 +60,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--synthetic_data", type=bool, default=False)
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--fused_posenet", type=bool, default=False)
     return p
 
 
@@ -127,6 +128,7 @@ def main(argv=None):
     sampler = make_posenet_sampler(
         model, sched, guidance=guidance,
         early_stop_steps=20 if args.early_stop else 0,
+        fused=args.fused_posenet,
     )
     key = jax.random.PRNGKey(args.seed)
 

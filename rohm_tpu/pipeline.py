@@ -145,6 +145,7 @@ class RohmPipeline:
     infill_traj: bool = False
     guidance_override: tuple = field(default=None)
     mesh: Any = None  # optional jax.sharding.Mesh: shard the batch on 'data'
+    fused_posenet: bool = False  # Pallas fused encoder layers for PoseNet
     _jitted: Any = field(default=None, init=False, repr=False)
 
     def _guidance(self, guidance_data: dict):
@@ -235,8 +236,19 @@ class RohmPipeline:
             if iter_idx < mask_iter_num:
                 cond = cond * pose_mask
 
-            def pose_model_fn(x, tt):
-                return self.posenet.apply(self.posenet_params, x, cond, tt)
+            if self.fused_posenet:
+                from rohm_tpu.ops import posenet_apply_fused
+
+                def pose_model_fn(x, tt, cond=cond):
+                    return posenet_apply_fused(
+                        self.posenet_params, x, cond, tt,
+                        num_layers=self.posenet.num_layers,
+                        num_heads=self.posenet.num_heads,
+                        traj_feat_dim=self.posenet.traj_feat_dim,
+                    )
+            else:
+                def pose_model_fn(x, tt, cond=cond):
+                    return self.posenet.apply(self.posenet_params, x, cond, tt)
 
             val_output_pose = p_sample_loop(
                 pose_model_fn, self.sched_pose, (b, t_pose, cond.shape[-1]), k_pose,

@@ -165,12 +165,26 @@ def make_posenet_sampler(
     guidance: tuple = (),
     early_stop_steps: int = 0,
     mesh: Mesh | None = None,
+    fused: bool = False,
 ) -> Callable:
-    """sample(params, cond, key) -> [B, T, 294] (1000-step chain, one scan)."""
+    """sample(params, cond, key) -> [B, T, 294] (1000-step chain, one scan).
+
+    fused=True runs the denoiser through the Pallas fused encoder layers
+    (inference-only, ~23% faster on v5e; parity ~2e-5 vs flax)."""
 
     def sample(params, cond, key):
-        def model_fn(x, t):
-            return model.apply(params, x, cond, t)
+        if fused:
+            from rohm_tpu.ops import posenet_apply_fused
+
+            def model_fn(x, t):
+                return posenet_apply_fused(
+                    params, x, cond, t,
+                    num_layers=model.num_layers, num_heads=model.num_heads,
+                    traj_feat_dim=model.traj_feat_dim,
+                )
+        else:
+            def model_fn(x, t):
+                return model.apply(params, x, cond, t)
 
         return p_sample_loop(
             model_fn, sched, cond.shape, key,
