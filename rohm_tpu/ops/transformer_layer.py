@@ -104,9 +104,19 @@ def _layer_params(layer: dict, d: int):
     )
 
 
+def _default_interpret() -> bool:
+    """Pallas TPU kernels need a real TPU; interpret elsewhere (CPU tests)."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
 def fused_encoder_layer(x: jnp.ndarray, layer: dict, num_heads: int = 4,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool | None = None) -> jnp.ndarray:
     """Apply one fused encoder layer. x [B, S, D]; layer = flax scope dict."""
+    if interpret is None:
+        interpret = _default_interpret()
     b, s, d = x.shape
     args = _layer_params(layer, d)
     f = layer["Dense_0"]["kernel"].shape[-1]
@@ -136,7 +146,7 @@ def fused_encoder_layer(x: jnp.ndarray, layer: dict, num_heads: int = 4,
 def posenet_apply_fused(params: dict, x_t: jnp.ndarray, cond: jnp.ndarray,
                         t: jnp.ndarray, num_layers: int = 8, num_heads: int = 4,
                         max_len: int = 5000, traj_feat_dim: int = 22,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool | None = None) -> jnp.ndarray:
     """PoseNet forward with fused Pallas encoder layers (eval mode).
 
     Drop-in for PoseNet.apply on the same param tree

@@ -77,6 +77,14 @@ def main():
             return p_sample_loop(lambda x, t: posenet.apply(p_pose, x, c, t),
                                  sched_p, (batch, T - 1, 294), k, guidance=guidance)
 
+        from rohm_tpu.ops import posenet_apply_fused
+
+        @jax.jit
+        def run_pose_guided_fused(c, k):
+            return p_sample_loop(
+                lambda x, t: posenet_apply_fused(p_pose, x, c, t),
+                sched_p, (batch, T - 1, 294), k, guidance=guidance)
+
         @jax.jit
         def run_bridge(tr, fl):
             return traj_to_pose_bridge(tr, fl, mean, std, body)
@@ -84,12 +92,13 @@ def main():
         tt = timeit(run_traj, cond_t, key, tag="traj")
         tp = timeit(run_pose, cond_p, key, tag="pose")
         tg = timeit(run_pose_guided, cond_p, key, tag="pose+guide")
+        tgf = timeit(run_pose_guided_fused, cond_p, key, tag="pose+guide fused")
         tb = timeit(run_bridge, jnp.zeros((batch, T, 13)), full, tag="bridge")
-        total = 2 * (tt + tg + tb)
+        total = 2 * (tt + tgf + tb)
         print(
             f"bs={batch:4d}  trajnet100={tt*1e3:8.1f}ms  posenet1000={tp*1e3:8.1f}ms  "
-            f"posenet1000+guide={tg*1e3:8.1f}ms  bridge={tb*1e3:6.1f}ms  "
-            f"full2iter~{total*1e3:8.1f}ms  clips/s={batch/total:7.1f}"
+            f"posenet1000+guide={tg*1e3:8.1f}ms  fused+guide={tgf*1e3:8.1f}ms  "
+            f"bridge={tb*1e3:6.1f}ms  full2iter(fused)~{total*1e3:8.1f}ms  clips/s={batch/total:7.1f}"
         )
 
 
