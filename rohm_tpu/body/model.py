@@ -279,12 +279,21 @@ def forward_vertices(
     global_orient: jnp.ndarray,
     body_pose: jnp.ndarray,
     transl: jnp.ndarray,
+    global_orient_mat: jnp.ndarray | None = None,
+    body_pose_mat: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full LBS: returns (vertices [..., V, 3], joints [..., 55, 3])."""
     v_shaped = model.v_template + jnp.einsum("...k,vck->...vc", betas, model.shapedirs)
     joints_rest = model.j_template + jnp.einsum("...k,jck->...jc", betas, model.j_shapedirs)
 
-    rots = _full_pose_rotmats(global_orient, body_pose, NUM_JOINTS)
+    if global_orient_mat is not None and body_pose_mat is not None:
+        rots = jnp.concatenate([global_orient_mat[..., None, :, :], body_pose_mat], axis=-3)
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=rots.dtype), rots.shape[:-3] + (NUM_JOINTS - 22, 3, 3)
+        )
+        rots = jnp.concatenate([rots, eye], axis=-3)
+    else:
+        rots = _full_pose_rotmats(global_orient, body_pose, NUM_JOINTS)
     posed_joints, rel_tf = _rigid_transform(rots, joints_rest, model.parents)
 
     # pose blendshapes from the non-root rotations

@@ -111,23 +111,35 @@ def recover_from_repr(
 
     if mode == "smplx_params":
         assert body_model is not None, "smplx_params mode needs a body model"
-        params = repr_to_smplx_params(d)
+        # rot6d -> rotmat feeds FK directly: the reference's extra
+        # rotmat -> axis-angle -> rotmat round trip (motion_representation.py:
+        # 373-389) is the identity but costs ops and a numerically delicate
+        # gradient through rotation_matrix_to_angle_axis
+        go_mat = rot6d_to_rotmat(d["smplx_rot_6d"])
+        pose6d = d["smplx_body_pose_6d"]
+        bp_mat = rot6d_to_rotmat(pose6d.reshape(pose6d.shape[:-1] + (21, 6)))
+        zeros3 = jnp.zeros(d["smplx_trans"].shape[:-1] + (3,), d["smplx_trans"].dtype)
+        zeros63 = jnp.zeros(d["smplx_trans"].shape[:-1] + (63,), d["smplx_trans"].dtype)
         if return_verts:
             verts, joints = forward_vertices(
                 body_model,
-                params["betas"],
-                params["global_orient"],
-                params["body_pose"],
-                params["transl"],
+                d["smplx_betas"],
+                zeros3,
+                zeros63,
+                d["smplx_trans"],
+                global_orient_mat=go_mat,
+                body_pose_mat=bp_mat,
             )
             return joints[..., :22, :], verts
         return forward_joints(
             body_model,
-            params["betas"],
-            params["global_orient"],
-            params["body_pose"],
-            params["transl"],
+            d["smplx_betas"],
+            zeros3,
+            zeros63,
+            d["smplx_trans"],
             num_joints=22,
+            global_orient_mat=go_mat,
+            body_pose_mat=bp_mat,
         )
 
     raise ValueError(f"bad recover mode {mode}")
