@@ -201,11 +201,13 @@ def main(argv=None):
     t_repr = args.clip_len - 1  # 144
     mask_len = int(args.traj_mask_ratio * 145)
 
-    pose_batches = test_pose_dataset.batches(args.batch_size, shuffle=False, drop_last=False)
-    traj_batches = test_traj_dataset.batches(args.batch_size, shuffle=False, drop_last=False)
+    pose_batches = test_pose_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
+    traj_batches = test_traj_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
     for step, (bp, bt) in enumerate(zip(pose_batches, traj_batches)):
         if args.max_batches and step >= args.max_batches:
             break
+        valid = bp.pop("_valid")
+        bt.pop("_valid")
         bs = bp["motion_repr_clean"].shape[0]
         traj_cond = bt["cond"].copy()
 
@@ -230,7 +232,9 @@ def main(argv=None):
             traj_cond, bt["motion_repr_clean"], bp["motion_repr_noisy"],
             pose_mask, traj_mask, sub,
         )
-        val_pose = np.asarray(val_pose)  # [bs, 143, 294] normalized
+        val_pose = np.asarray(val_pose)[:valid]  # [valid, 143, 294] normalized
+        bp = {k: v[:valid] for k, v in bp.items()}
+        bt = {k: v[:valid] for k, v in bt.items()}
 
         # decode + denormalize for the result pickle (reference :386-441)
         motion_repr_clean = bp["motion_repr_clean"][:, : t_repr - 1] * std + mean

@@ -342,16 +342,28 @@ class AmassClipDataset:
         return item
 
     # ------------------------------------------------------------------
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
-        """Yield stacked batch dicts of fixed shape (TPU-friendly epoch stream)."""
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True, pad_last: bool = False):
+        """Yield stacked batch dicts of fixed shape (TPU-friendly epoch stream).
+
+        pad_last=True pads a short final batch to batch_size by repeating the
+        last clip (one compiled shape for the whole eval — a fresh shape costs
+        minutes of XLA compile); the dict carries '_valid' with the true count
+        so callers can trim outputs."""
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         stop = self.n_samples - (self.n_samples % batch_size if drop_last else 0)
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]
+            valid = len(idx)
+            if pad_last and valid < batch_size:
+                idx = np.concatenate([idx, np.full(batch_size - valid, idx[-1])])
             items = [self[int(i)] for i in idx]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            if pad_last:
+                out["_valid"] = valid
+            yield out
 
 
 def save_noise_dict(path: str, smplx_noise_dict: dict) -> None:

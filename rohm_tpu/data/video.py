@@ -405,7 +405,8 @@ class VideoClipDataset:
             item["control_cond"] = noisy[:, -self.pose_feat_dim :]
         return item
 
-    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                drop_last: bool = False, pad_last: bool = False):
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -413,6 +414,9 @@ class VideoClipDataset:
         skip_keys = {"cano_smplx_params_dict", "frame_name"}
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]
+            valid = len(idx)
+            if pad_last and valid < batch_size:
+                idx = np.concatenate([idx, np.full(batch_size - valid, idx[-1])])
             items = [self[int(i)] for i in idx]
             out = {
                 k: np.stack([it[k] for it in items])
@@ -421,4 +425,6 @@ class VideoClipDataset:
             }
             out["cano_smplx_params_dict"] = [it["cano_smplx_params_dict"] for it in items]
             out["frame_name"] = [it["frame_name"] for it in items]
+            if pad_last:
+                out["_valid"] = valid
             yield out
