@@ -162,10 +162,8 @@ def main(argv=None):
     test_pose_dataset = AmassClipDataset(
         split="test", task="pose", repr_abs_only=False, logdir=stats_dir, **common_kw, **noise_kw
     )
-    test_traj_dataset = AmassClipDataset(
-        split="test", task="traj", repr_abs_only=args.repr_abs_only, logdir=stats_dir,
-        **common_kw, **noise_kw,
-    )
+    # traj view shares the pose view's preprocessed arrays (same data)
+    test_traj_dataset = test_pose_dataset.view("traj", repr_abs_only=args.repr_abs_only)
     mean, std = test_pose_dataset.mean, test_pose_dataset.std
     traj_feat_dim = test_traj_dataset.traj_feat_dim
 

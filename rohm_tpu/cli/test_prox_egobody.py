@@ -87,7 +87,7 @@ def main(argv=None):
         overlap_len=args.window_size, clip_len=args.clip_len, logdir=stats_dir,
     )
     test_pose_dataset = VideoClipDataset(task="pose", repr_abs_only=False, **common)
-    test_traj_dataset = VideoClipDataset(task="traj", repr_abs_only=args.repr_abs_only, **common)
+    test_traj_dataset = test_pose_dataset.view("traj", repr_abs_only=args.repr_abs_only)
     mean, std = test_pose_dataset.mean, test_pose_dataset.std
     traj_feat_dim = test_traj_dataset.traj_feat_dim
     t_repr = args.clip_len - 1

@@ -280,6 +280,23 @@ class AmassClipDataset:
         ).astype(np.float32)
 
     # ------------------------------------------------------------------
+    def view(self, task: str, repr_abs_only: bool | None = None) -> "AmassClipDataset":
+        """A second task view over the SAME preprocessed arrays.
+
+        The reference constructs two full DataloaderAMASS objects for the
+        pose/traj views of identical data (test_amass_full.py:93-127),
+        repeating canonicalization, noise FK and encoding; a view shares them
+        (construction measured at ~70 s for the AMASS test set per view)."""
+        assert task in ("traj", "pose")
+        import copy
+
+        v = copy.copy(self)
+        v.task = task
+        if repr_abs_only is not None:
+            v.repr_abs_only = repr_abs_only
+            v.traj_feat_dim = 13 if repr_abs_only else TRAJ_FEAT_DIM_FULL
+        return v
+
     def __len__(self) -> int:
         return self.n_samples
 

@@ -362,6 +362,18 @@ class VideoClipDataset:
             self.repr_input = np.zeros((0, self.clip_len - 1, 294), np.float32)
 
     # ------------------------------------------------------------------
+    def view(self, task: str, repr_abs_only: bool | None = None) -> "VideoClipDataset":
+        """Second task view sharing the same preprocessed recording arrays."""
+        assert task in ("traj", "pose")
+        import copy
+
+        v = copy.copy(self)
+        v.task = task
+        if repr_abs_only is not None:
+            v.repr_abs_only = repr_abs_only
+            v.traj_feat_dim = 13 if repr_abs_only else 22
+        return v
+
     def __len__(self):
         return self.n_samples
 
