@@ -152,3 +152,15 @@ def test_file_loading_roundtrip(body, tmp_path):
     assert len(ds_test) == 2
     item = ds_test[0]
     np.testing.assert_allclose(item["motion_repr_noisy"], item["motion_repr_clean"])
+
+
+def test_task_view_shares_arrays(body, clips, tmp_path):
+    ds = _make(body, clips, tmp_path, task="pose", repr_abs_only=False)
+    v = ds.view("traj", repr_abs_only=True)
+    assert v.repr_clean is ds.repr_clean  # shared, not recomputed
+    assert v.traj_feat_dim == 13 and ds.traj_feat_dim == 22
+    item = v[0]
+    assert item["cond"].shape == (CLIP_LEN - 1, 13)
+    assert "control_cond" in item
+    # pose view unchanged
+    assert "cond" not in ds[0]
