@@ -42,9 +42,24 @@ def amass_to_pose(npz_path: str, body, target_fps: int = 30, dataset_name: str =
             fps = float(data.get("mocap_frame_rate", data.get("mocap_framerate", 0)))
             if fps == 0:
                 return None
-            poses = np.asarray(data["poses"], np.float64)  # [T, 165] smplx
             trans = np.asarray(data["trans"], np.float64)
             betas = np.asarray(data["betas"], np.float64)[:10]
+            if "root_orient" in data:
+                # SMPL-X AMASS release format (the one the reference reads:
+                # root_orient/pose_body/pose_hand/pose_jaw/pose_eye)
+                global_orient = np.asarray(data["root_orient"], np.float64)
+                body_pose = np.asarray(data["pose_body"], np.float64)
+                hands = np.asarray(data["pose_hand"], np.float64)
+                jaw = np.asarray(data["pose_jaw"], np.float64)
+                eye = np.asarray(data["pose_eye"], np.float64)
+                jaw_eyes = np.concatenate([jaw, eye[:, 0:3], eye[:, 0:3]], axis=-1)
+            else:
+                # flat 'poses' [T, 165] layout (go, body, jaw, eyes, hands)
+                poses = np.asarray(data["poses"], np.float64)
+                global_orient = poses[:, 0:3]
+                body_pose = poses[:, 3:66]
+                jaw_eyes = poses[:, 66:75]
+                hands = poses[:, 75:165]
     except Exception:
         return None
 
@@ -52,15 +67,13 @@ def amass_to_pose(npz_path: str, body, target_fps: int = 30, dataset_name: str =
         # SSM is 60 fps despite metadata (reference :31-37)
         fps = 60.0
     stride = max(int(round(fps / target_fps)), 1)
-    poses, trans = poses[::stride], trans[::stride]
-    t = len(poses)
+    sl = slice(None, None, stride)
+    global_orient, body_pose = global_orient[sl], body_pose[sl]
+    hands, jaw_eyes, trans = hands[sl], jaw_eyes[sl], trans[sl]
+    t = len(trans)
     if t < 2:
         return None
 
-    global_orient = poses[:, 0:3]
-    body_pose = poses[:, 3:66]
-    hands = poses[:, 75:165]  # left+right hand, after jaw/eyes
-    jaw_eyes = poses[:, 66:75]
     betas_t = np.tile(betas[None], (t, 1))
 
     joints = np.asarray(
