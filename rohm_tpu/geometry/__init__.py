@@ -7,6 +7,10 @@ differentiable jnp implementations.
 """
 
 from rohm_tpu.geometry.rotations import (
+    euler_to_quat,
+    qeuler,
+    qfix,
+    qslerp,
     aa_to_quat,
     aa_to_rotmat,
     qbetween,
@@ -24,6 +28,10 @@ from rohm_tpu.geometry.rotations import (
 )
 
 __all__ = [
+    "qeuler",
+    "qfix",
+    "qslerp",
+    "euler_to_quat",
     "aa_to_quat",
     "aa_to_rotmat",
     "qbetween",

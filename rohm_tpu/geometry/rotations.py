@@ -246,3 +246,71 @@ def skew_angular_velocity(rot_seq: jnp.ndarray, drdt: jnp.ndarray) -> jnp.ndarra
     w_y = (w_mat[..., 0, 2] - w_mat[..., 2, 0]) / 2.0
     w_z = (-w_mat[..., 0, 1] + w_mat[..., 1, 0]) / 2.0
     return jnp.stack([w_x, w_y, w_z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# remaining quaternion-library surface (reference data_loaders/common/
+# quaternion.py lineage: qeuler, qfix, qslerp; unused by the RoHM pipelines
+# but part of the reference's public L0 API)
+# ---------------------------------------------------------------------------
+
+
+def qeuler(q: jnp.ndarray, order: str = "zyx", eps: float = 1e-7) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) -> intrinsic Euler angles for xyz/zyx orders."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    if order == "xyz":
+        ex = jnp.arctan2(2 * (w * x - y * z), 1 - 2 * (x * x + y * y))
+        ey = jnp.arcsin(jnp.clip(2 * (w * y + x * z), -1 + eps, 1 - eps))
+        ez = jnp.arctan2(2 * (w * z - x * y), 1 - 2 * (y * y + z * z))
+        return jnp.stack([ex, ey, ez], axis=-1)
+    if order == "zyx":
+        ex = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        ey = jnp.arcsin(jnp.clip(2 * (w * y - x * z), -1 + eps, 1 - eps))
+        ez = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        return jnp.stack([ex, ey, ez], axis=-1)
+    raise ValueError(f"unsupported euler order {order}")
+
+
+def qfix(q: jnp.ndarray) -> jnp.ndarray:
+    """Enforce quaternion temporal continuity over axis -2 (a sequence): flip
+    the sign of q_t whenever dot(q_t, q_{t-1}) < 0 (reference qfix)."""
+    def step(prev, cur):
+        flip = jnp.sum(prev * cur, axis=-1, keepdims=True) < 0
+        out = jnp.where(flip, -cur, cur)
+        return out, out
+
+    q_t = jnp.moveaxis(q, -2, 0)
+    _, fixed = jax.lax.scan(step, q_t[0], q_t[1:])
+    return jnp.moveaxis(jnp.concatenate([q_t[:1], fixed], axis=0), 0, -2)
+
+
+def qslerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
+    """Spherical interpolation between unit quaternions (shortest arc)."""
+    t = jnp.asarray(t)
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    # fall back to lerp near theta=0 where slerp is ill-conditioned
+    small = sin_theta < 1e-6
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(small, 1.0, sin_theta))
+    w1 = jnp.where(small, t, jnp.sin(t * theta) / jnp.where(small, 1.0, sin_theta))
+    out = w0 * q0 + w1 * q1
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+def euler_to_quat(e: jnp.ndarray, order: str = "zyx") -> jnp.ndarray:
+    """Intrinsic Euler angles -> quaternion (composition of axis rotations)."""
+    def axis_quat(angle, axis):
+        half = angle / 2.0
+        zeros = jnp.zeros_like(angle)
+        parts = {"x": 1, "y": 2, "z": 3}[axis]
+        q = [jnp.cos(half), zeros, zeros, zeros]
+        q[parts] = jnp.sin(half)
+        return jnp.stack(q, axis=-1)
+
+    q = axis_quat(e[..., 0], order[0])
+    for i, ax in enumerate(order[1:], start=1):
+        q = qmul(q, axis_quat(e[..., i], ax))
+    return q

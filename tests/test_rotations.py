@@ -162,3 +162,58 @@ def test_batch_shapes(shape, rng):
     assert rotmat_to_aa(m).shape == shape + (3,)
     assert rotmat_to_quat(m).shape == shape + (4,)
     assert rotmat_to_rot6d(m).shape == shape + (6,)
+
+
+class TestQuatExtras:
+    def test_qeuler_roundtrip_vs_scipy(self):
+        from scipy.spatial.transform import Rotation as R
+
+        from rohm_tpu.geometry import qeuler
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        rotvec = rng.normal(scale=0.4, size=(50, 3))
+        r = R.from_rotvec(rotvec)
+        q_xyzw = r.as_quat()
+        q = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, :3]], axis=-1)  # wxyz
+        ours = np.asarray(qeuler(jnp.asarray(q), "xyz"))
+        # scipy intrinsic XYZ
+        ref = r.as_euler("XYZ")
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_qfix_continuity(self):
+        from rohm_tpu.geometry import qfix
+        import jax.numpy as jnp
+
+        q = np.tile(np.array([1.0, 0, 0, 0]), (6, 1))
+        q[3] *= -1  # sign flip mid-sequence
+        fixed = np.asarray(qfix(jnp.asarray(q)))
+        dots = np.sum(fixed[1:] * fixed[:-1], axis=-1)
+        assert (dots >= 0).all()
+
+    def test_qslerp_endpoints_and_midpoint(self):
+        from scipy.spatial.transform import Rotation as R
+
+        from rohm_tpu.geometry import qslerp
+        import jax.numpy as jnp
+
+        q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        r1 = R.from_euler("z", 90, degrees=True)
+        x, y, z, w = r1.as_quat()
+        q1 = jnp.asarray([w, x, y, z])
+        np.testing.assert_allclose(np.asarray(qslerp(q0, q1, 0.0)), np.asarray(q0), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(qslerp(q0, q1, 1.0)), np.asarray(q1), atol=1e-6)
+        mid = np.asarray(qslerp(q0, q1, 0.5))
+        r_mid = R.from_euler("z", 45, degrees=True)
+        x, y, z, w = r_mid.as_quat()
+        np.testing.assert_allclose(mid, [w, x, y, z], atol=1e-6)
+
+    def test_euler_quat_roundtrip(self):
+        from rohm_tpu.geometry import euler_to_quat, qeuler
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        e = rng.uniform(-1.0, 1.0, size=(20, 3))
+        q = euler_to_quat(jnp.asarray(e), "xyz")
+        back = np.asarray(qeuler(q, "xyz"))
+        np.testing.assert_allclose(back, e, atol=1e-5)
