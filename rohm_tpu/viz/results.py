@@ -91,14 +91,29 @@ def render_prox_overlay(saved_data: dict, body_model, recording_dir: str,
             )
 
 
+def occluded_vertex_alpha(body_model, mask_scheme: str, alpha_occ: float = 0.45):
+    """Per-vertex alpha marking occluded body parts (reference
+    eval_amass_full.py render path): a vertex is 'occluded' when its dominant
+    LBS joint belongs to the mask scheme's joint set."""
+    from rohm_tpu.evals.metrics import LOWER_BODY, UPPER_BODY
+
+    if mask_scheme not in ("lower", "upper"):
+        return None
+    occ = LOWER_BODY if mask_scheme == "lower" else UPPER_BODY
+    owner = np.argmax(np.asarray(body_model.lbs_weights), axis=-1)  # [V]
+    alpha = np.ones(len(owner))
+    alpha[np.isin(owner, occ)] = alpha_occ
+    return alpha
+
+
 def render_amass_results(saved_data: dict, body_model, save_path: str,
                          render_interval: int = 100, width: int = 1280,
                          height: int = 720) -> None:
     """Offscreen pyrender of reconstructed bodies over a checkerboard floor
     (reference eval_amass_full.py:278-396): decode SMPL-X vertices from the
     saved reprs, render every render_interval-th clip frame-by-frame to PNGs.
-    Occluded lower-body parts render translucent via per-vertex alpha when the
-    mask scheme is 'lower'."""
+    Occluded body parts render translucent via per-vertex alpha when the
+    mask scheme is 'lower'/'upper'."""
     import os
 
     import jax.numpy as jnp
@@ -120,6 +135,7 @@ def render_amass_results(saved_data: dict, body_model, save_path: str,
     os.makedirs(save_path, exist_ok=True)
     cam_shift = np.eye(4)
     cam_shift[:3, 3] = [0.0, -3.0, 1.2]  # step back and up, z-up world
+    vertex_alpha = occluded_vertex_alpha(body_model, saved_data.get("mask_scheme", ""))
 
     for idx in range(0, len(rec), max(render_interval, 1)):
         d = split_repr(jnp.asarray(rec[idx]))
@@ -129,7 +145,8 @@ def render_amass_results(saved_data: dict, body_model, save_path: str,
         for t in range(0, verts.shape[0], 10):
             scene = create_scene(camera, camera_pose @ np.linalg.inv(cam_shift), light)
             scene.add(checkerboard_floor(np.eye(4)))
-            add_body_mesh(scene, verts[t], body_model.faces, COLOR_BODY_REC_VIS)
+            add_body_mesh(scene, verts[t], body_model.faces, COLOR_BODY_REC_VIS,
+                          vertex_alpha=vertex_alpha)
             rgba = render_rgba(scene, width, height)
             Image.fromarray(rgba).save(
                 os.path.join(save_path, f"clip{idx:04d}_frame{t:04d}.png")
