@@ -20,6 +20,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rohm_tpu.diffusion.gaussian import p_mean_from_x0
 from rohm_tpu.diffusion.schedule import DiffusionSchedule
@@ -78,12 +79,29 @@ def p_sample_loop(
     else:
         x_init = noise
 
+    # Guidance thresholds are defined on ORIGINAL timesteps (the reference
+    # compares t[0] <= 50/100 AFTER _WrappedModel's timestep_map remap,
+    # gaussian_diffusion_posenet.py:461-477 + respace.py:183-195). Map each
+    # threshold to internal scan-index space: the map is monotonic, so the
+    # internal threshold is the last index whose original timestep is <= it.
+    # Identity with empty respacing (all shipped configs); differs under
+    # 'ddimN'.
+    tmap_host = np.asarray(jax.core.concrete_or_error(
+        None, sched.timestep_map,
+        "p_sample_loop needs a concrete timestep_map to place guidance "
+        "thresholds; pass the schedule as a closure, not a traced argument.",
+    )) if guidance else None
+    internal_thr = tuple(
+        int(np.searchsorted(tmap_host, s.t_threshold, side="right")) - 1
+        for s in guidance
+    )
+
     def guidance_shift(pred_x0, t, var, active: tuple[bool, ...]):
         """Sum of guidance mean-shifts. `active[i]` statically includes spec i
         unconditionally; inactive specs with a threshold inside this scan
         segment fall back to a lax.cond gate."""
         shift = jnp.zeros_like(pred_x0)
-        for spec, is_active in zip(guidance, active):
+        for spec, thr_i, is_active in zip(guidance, internal_thr, active):
             def apply(x0, s=spec):
                 g = -jax.grad(s.loss_fn)(x0)
                 if s.grad_mask is not None:
@@ -94,7 +112,7 @@ def p_sample_loop(
                 shift = shift + apply(pred_x0)
             else:
                 shift = shift + jax.lax.cond(
-                    t <= spec.t_threshold,
+                    t <= thr_i,
                     apply,
                     lambda x0: jnp.zeros_like(x0),
                     pred_x0,
@@ -126,13 +144,13 @@ def p_sample_loop(
         # spec applied (statically where its threshold covers the segment) —
         # leaner compile and no per-step cond dispatch (reference embeds the
         # t-threshold branches in p_sample_with_grad, _posenet.py:461-477)
-        thr = max(s.t_threshold for s in guidance)
-        split = min(thr, t_hi)  # last guided t
+        thr = max(internal_thr)
+        split = min(thr, t_hi)  # last guided internal index
         if split < t_hi:
             ts_upper = jnp.arange(t_hi, max(split, t_lo - 1), -1)
             carry, _ = jax.lax.scan(make_step(None), carry, ts_upper)
         ts_lower = jnp.arange(min(split, t_hi), t_lo - 1, -1)
-        active = tuple(s.t_threshold >= split for s in guidance)
+        active = tuple(t >= split for t in internal_thr)
         carry, _ = jax.lax.scan(make_step(active), carry, ts_lower)
     else:
         timesteps = jnp.arange(t_hi, t_lo - 1, -1)

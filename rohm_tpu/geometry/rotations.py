@@ -255,20 +255,36 @@ def skew_angular_velocity(rot_seq: jnp.ndarray, drdt: jnp.ndarray) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
-def qeuler(q: jnp.ndarray, order: str = "zyx", eps: float = 1e-7) -> jnp.ndarray:
-    """Quaternion (w, x, y, z) -> intrinsic Euler angles for xyz/zyx orders."""
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    if order == "xyz":
-        ex = jnp.arctan2(2 * (w * x - y * z), 1 - 2 * (x * x + y * y))
-        ey = jnp.arcsin(jnp.clip(2 * (w * y + x * z), -1 + eps, 1 - eps))
-        ez = jnp.arctan2(2 * (w * z - x * y), 1 - 2 * (y * y + z * z))
-        return jnp.stack([ex, ey, ez], axis=-1)
-    if order == "zyx":
-        ex = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
-        ey = jnp.arcsin(jnp.clip(2 * (w * y - x * z), -1 + eps, 1 - eps))
-        ez = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
-        return jnp.stack([ex, ey, ez], axis=-1)
-    raise ValueError(f"unsupported euler order {order}")
+_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
+
+
+def qeuler(
+    q: jnp.ndarray, order: str = "zyx", eps: float = 0.0, deg: bool = False
+) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) -> intrinsic Tait-Bryan Euler angles.
+
+    Supports all six distinct-axis orders ('xyz', 'yzx', 'zxy', 'xzy', 'yxz',
+    'zyx'), matching the reference surface
+    (data_loaders/common/quaternion.py:74-122). Like the reference, the
+    returned angles are labeled by AXIS and stacked in (x, y, z) order
+    regardless of application order. Implemented as a single table-driven
+    matrix extraction instead of six formula blocks: for intrinsic order
+    (i, j, k) with permutation sign s, the middle angle is
+    asin(s * m[i, k]) and the outer angles are atan2 of the adjacent row /
+    column entries.
+    """
+    if len(order) != 3 or set(order) != {"x", "y", "z"}:
+        raise ValueError(f"unsupported euler order {order}")
+    i, j, k = (_AXIS_INDEX[c] for c in order)
+    sign = 1.0 if (j - i) % 3 == 1 else -1.0
+    m = quat_to_rotmat(qnormalize(q))
+    mid = jnp.arcsin(jnp.clip(sign * m[..., i, k], -1.0 + eps, 1.0 - eps))
+    first = jnp.arctan2(-sign * m[..., j, k], m[..., k, k])
+    last = jnp.arctan2(-sign * m[..., i, j], m[..., i, i])
+    by_axis: list = [None, None, None]
+    by_axis[i], by_axis[j], by_axis[k] = first, mid, last
+    e = jnp.stack(by_axis, axis=-1)
+    return e * (180.0 / jnp.pi) if deg else e
 
 
 def qfix(q: jnp.ndarray) -> jnp.ndarray:
@@ -301,7 +317,13 @@ def qslerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
 
 
 def euler_to_quat(e: jnp.ndarray, order: str = "zyx") -> jnp.ndarray:
-    """Intrinsic Euler angles -> quaternion (composition of axis rotations)."""
+    """Intrinsic Euler angles -> quaternion (composition of axis rotations).
+
+    Like the reference `euler_to_quaternion`
+    (data_loaders/common/quaternion.py:231-260), `e` holds angles labeled by
+    AXIS in (x, y, z) slots; `order` gives the application order.
+    """
+
     def axis_quat(angle, axis):
         half = angle / 2.0
         zeros = jnp.zeros_like(angle)
@@ -310,7 +332,8 @@ def euler_to_quat(e: jnp.ndarray, order: str = "zyx") -> jnp.ndarray:
         q[parts] = jnp.sin(half)
         return jnp.stack(q, axis=-1)
 
-    q = axis_quat(e[..., 0], order[0])
-    for i, ax in enumerate(order[1:], start=1):
-        q = qmul(q, axis_quat(e[..., i], ax))
+    q = None
+    for ax in order:
+        r = axis_quat(e[..., _AXIS_INDEX[ax]], ax)
+        q = r if q is None else qmul(q, r)
     return q

@@ -30,15 +30,23 @@ class ConfigParser:
         self._parser = argparse.ArgumentParser(description=description)
         self._parser.add_argument("--config", type=str, default="", help="YAML config file")
         self._types: dict[str, Any] = {}
+        self._aliases: dict[str, str] = {}
 
-    def add_argument(self, name: str, type=str, default=None, help: str = "", nargs=None):
+    def add_argument(
+        self, name: str, *aliases: str, type=str, default=None, help: str = "", nargs=None
+    ):
+        """Declare a flag. Extra positional names are aliases: the first name
+        defines the attribute, the rest are accepted on the CLI and in YAML."""
         if type is bool or type == str2bool:
             type = str2bool
-        kwargs = dict(type=type, default=None, help=help)
+        dest = name.lstrip("-").replace("-", "_")
+        kwargs = dict(type=type, default=None, help=help, dest=dest)
         if nargs is not None:
             kwargs["nargs"] = nargs
-        self._parser.add_argument(name, **kwargs)
-        self._types[name.lstrip("-").replace("-", "_")] = (type, default, nargs)
+        self._parser.add_argument(name, *aliases, **kwargs)
+        self._types[dest] = (type, default, nargs)
+        for alias in aliases:
+            self._aliases[alias.lstrip("-").replace("-", "_")] = dest
         return self
 
     # reference scripts call parser.parse_args() and read attrs
@@ -48,6 +56,11 @@ class ConfigParser:
         if cli.config:
             with open(cli.config) as f:
                 yaml_vals = yaml.safe_load(f) or {}
+
+        # YAML may use alias keys; fold them onto the canonical name
+        for alias, dest in self._aliases.items():
+            if alias in yaml_vals and dest not in yaml_vals:
+                yaml_vals[dest] = yaml_vals.pop(alias)
 
         out = argparse.Namespace(config=cli.config)
         for key, (typ, default, nargs) in self._types.items():

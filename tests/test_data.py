@@ -108,6 +108,7 @@ def test_pose_task_clean_traj_cond(body, clips, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_preset_noise_reproducible(body, clips, tmp_path):
     ds1 = _make(body, clips, tmp_path, seed=1)
     noise = {k: np.asarray(v) for k, v in ds1.smplx_noise_dict.items()}

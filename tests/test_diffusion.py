@@ -197,3 +197,38 @@ class TestSampler:
             model, sched, (1, 2), jax.random.PRNGKey(0), guidance=(spec_off,)
         )
         np.testing.assert_allclose(np.asarray(off), np.asarray(base), atol=1e-6)
+
+
+class TestRespacedGuidanceThreshold:
+    """Guidance t-thresholds are defined on ORIGINAL timesteps; under
+    'ddimN' respacing they must be mapped through timestep_map (reference
+    respace.py:183-195 remaps t before gaussian_diffusion_posenet.py:461-477
+    compares t[0] <= thr)."""
+
+    def _run(self, thr):
+        import jax
+
+        from rohm_tpu.diffusion import make_schedule
+        from rohm_tpu.diffusion.sampler import GuidanceSpec, p_sample_loop
+
+        sched = make_schedule("cosine", 1000, timestep_respacing="ddim100")
+        spec = GuidanceSpec(
+            loss_fn=lambda x: -jnp.sum(x), weight=1.0, t_threshold=thr
+        )
+        # model must pass state through: with pred_x0 == 0 the t=0 posterior
+        # collapses to exactly 0 and guidance from earlier steps is invisible
+        model_fn = lambda x, t: 0.5 * x  # noqa: E731
+        return np.asarray(
+            p_sample_loop(
+                model_fn, sched, (1, 2, 4), jax.random.PRNGKey(3), guidance=(spec,)
+            )
+        )
+
+    def test_same_internal_bucket_identical(self):
+        # ddim100 keeps original timesteps 0,10,...,990: thresholds 50 and 59
+        # both cover internal steps {0..5} and must sample identically
+        np.testing.assert_array_equal(self._run(50), self._run(59))
+
+    def test_different_internal_bucket_differs(self):
+        # threshold 60 guides one extra retained step (original t=60)
+        assert np.abs(self._run(50) - self._run(60)).max() > 1e-8

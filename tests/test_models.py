@@ -114,6 +114,7 @@ class TestLosses:
         )
         np.testing.assert_allclose(float(ld["loss"]), want, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_trajnet_loss_grad(self, body, rng):
         clean, mean, std = self._fake_batch(rng)
         out13 = jnp.asarray(rng.normal(size=(2, 8, 13)) * 0.1, jnp.float32)
@@ -157,6 +158,7 @@ class TestLosses:
 
 
 class TestGuidance:
+    @pytest.mark.slow
     def test_skating_grad_masked(self, body, rng):
         x = jnp.asarray(rng.normal(size=(1, 8, 294)) * 0.1, jnp.float32)
         mean = jnp.zeros(294)

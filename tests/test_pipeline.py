@@ -12,6 +12,8 @@ from rohm_tpu.models import PoseNet, TrajNet
 from rohm_tpu.pipeline import RohmPipeline, amass_eval_pose_mask, traj_to_pose_bridge
 from rohm_tpu.reprs.schema import BODY_FEAT_DIM
 
+pytestmark = pytest.mark.slow  # end-to-end compiles; excluded from the default run
+
 CLIP_LEN = 17  # -> traj T=16 (divisible by 16), pose T=15
 
 

@@ -143,6 +143,7 @@ class TestEncodeDecode:
         assert joints.shape == (len(cano_pos) - 1, 22, 3)
         assert verts.shape == (len(cano_pos) - 1, body.num_verts, 3)
 
+    @pytest.mark.slow
     def test_batched_encode(self, body):
         from rohm_tpu.data import synthetic_clip_batch
 

@@ -217,3 +217,39 @@ class TestQuatExtras:
         q = euler_to_quat(jnp.asarray(e), "xyz")
         back = np.asarray(qeuler(q, "xyz"))
         np.testing.assert_allclose(back, e, atol=1e-5)
+
+    @pytest.mark.parametrize("order", ["xyz", "yzx", "zxy", "xzy", "yxz", "zyx"])
+    def test_qeuler_all_orders_vs_reference(self, order):
+        """Parity with the REAL reference qeuler for all six Euler orders
+        (reference data_loaders/common/quaternion.py:74-122)."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            from data_loaders.common.quaternion import qeuler as ref_qeuler
+        finally:
+            sys.path.remove("/root/reference")
+
+        from rohm_tpu.geometry import qeuler
+
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(128, 4))
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        ours_rad = np.asarray(qeuler(jnp.asarray(q, dtype=jnp.float32), order))
+        ours_deg = np.asarray(qeuler(jnp.asarray(q, dtype=jnp.float32), order, deg=True))
+        qt = torch.from_numpy(q).double()
+        ref_rad = ref_qeuler(qt, order, deg=False).numpy()
+        ref_deg = ref_qeuler(qt, order, deg=True).numpy()
+        np.testing.assert_allclose(ours_rad, ref_rad, atol=3e-5)
+        np.testing.assert_allclose(ours_deg, ref_deg, atol=2e-3)
+
+    @pytest.mark.parametrize("order", ["xyz", "yzx", "zxy", "xzy", "yxz", "zyx"])
+    def test_euler_quat_roundtrip_all_orders(self, order):
+        from rohm_tpu.geometry import euler_to_quat, qeuler
+
+        rng = np.random.default_rng(2)
+        e = rng.uniform(-1.0, 1.0, size=(20, 3))
+        q = euler_to_quat(jnp.asarray(e), order)
+        back = np.asarray(qeuler(q, order))
+        np.testing.assert_allclose(back, e, atol=1e-5)

@@ -15,6 +15,8 @@ from rohm_tpu.train.checkpoint import latest_checkpoint, load_params_into, save_
 from rohm_tpu.train.resample import LossSecondMomentResampler, create_named_schedule_sampler
 from rohm_tpu.train.steps import make_trajnet_sampler
 
+pytestmark = pytest.mark.slow  # end-to-end compiles; excluded from the default run
+
 CLIP_LEN = 33
 T = CLIP_LEN - 1
 
