@@ -1,16 +1,23 @@
-"""Torch->flax checkpoint-converter parity tests.
+"""Torch->flax checkpoint-converter parity vs the REAL reference modules.
 
-Constructs torch twins of the reference architectures (same state_dict naming
-as model/trajnet.py / model/posenet.py / model/heads.py), runs the converter,
-and checks the flax forward matches the torch forward to float32 tolerance.
-This is the layer-by-layer verification SURVEY.md 7 calls for (hard part #3).
+Instantiates the actual reference architectures from /root/reference
+(model/trajnet.py:10-275, model/posenet.py:11-96, model/heads.py) with random
+init, runs the converter on their true `state_dict()`s, and asserts flax
+forward parity through the reference's native tensor layouts (including the
+PoseNet [bs, 294, 1, T] permute and the TrajControl bootstrap copy of
+train_trajnet.py:157-164). This replaces the round-1 hand-authored torch
+twins: a twin that drifted from the real module would pass its own test and
+silently break on the released checkpoints.
 """
+
+import sys
+import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-import torch.nn as tnn  # noqa: E402
+pytest.importorskip("einops")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -19,235 +26,40 @@ import flax  # noqa: E402
 from rohm_tpu.models import PoseNet, TrajNet  # noqa: E402
 from rohm_tpu.utils.convert_torch_ckpt import convert_posenet, convert_trajnet  # noqa: E402
 
-MID = 64
-TRAJ = 13
-T = 32
+pytestmark = pytest.mark.slow  # 512-dim reference models; compile-heavy
+
 B = 2
+T = 48  # divisible by 16 (4 U-Net downsamples); reference uses 144
+MID = 512
 
 
-# ---- torch twins (reference-compatible names) -----------------------------
+@pytest.fixture(scope="module")
+def ref():
+    """Import the real reference model package. smplx isn't installed (and its
+    weights are license-gated), so stub it: PoseNet.__init__ owns a body model
+    (posenet.py:57-58) that forward() never touches."""
+    if "smplx" not in sys.modules or not hasattr(sys.modules["smplx"], "_rohm_stub"):
+        stub = types.ModuleType("smplx")
+        stub._rohm_stub = True
+        stub.create = lambda *a, **k: torch.nn.Identity()
+        sys.modules["smplx"] = stub
+    sys.path.insert(0, "/root/reference")
+    try:
+        import model.posenet as ref_posenet
+        import model.trajnet as ref_trajnet
+    finally:
+        sys.path.remove("/root/reference")
+    return types.SimpleNamespace(trajnet=ref_trajnet, posenet=ref_posenet)
 
 
-class TConv1dBlock(tnn.Module):
-    def __init__(self, cin, cout, k):
-        super().__init__()
-        self.block = tnn.Sequential(
-            tnn.Conv1d(cin, cout, k, padding=k // 2),
-            tnn.Unflatten(1, (cout, 1)),
-            tnn.GroupNorm(8, cout),
-            tnn.Flatten(1, 2),
-            tnn.Mish(),
-        )
-
-    def forward(self, x):
-        return self.block(x)
+def _to_flax_params(flat):
+    return flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v) for k, v in flat.items()}, sep="/"
+    )
 
 
-class TRTB(tnn.Module):
-    def __init__(self, cin, cout, input_t=True, t_dim=32, k=5):
-        super().__init__()
-        self.blocks = tnn.ModuleList([TConv1dBlock(cin, cout, k), TConv1dBlock(cout, cout, k)])
-        self.input_t = input_t
-        if input_t:
-            self.time_mlp = tnn.Sequential(
-                tnn.Mish(), tnn.Linear(t_dim, cout), tnn.Unflatten(1, (cout, 1))
-            )
-        self.residual_conv = tnn.Conv1d(cin, cout, 1) if cin != cout else tnn.Identity()
-
-    def forward(self, x, t):
-        out = self.blocks[0](x)
-        if self.input_t:
-            out = out + self.time_mlp(t)
-        out = self.blocks[1](out)
-        return out + self.residual_conv(x)
-
-
-class TDown(tnn.Module):
-    def __init__(self, dim):
-        super().__init__()
-        self.conv = tnn.Conv1d(dim, dim, 3, 2, 1)
-
-    def forward(self, x):
-        return self.conv(x)
-
-
-class TUp(tnn.Module):
-    def __init__(self, dim):
-        super().__init__()
-        self.conv = tnn.ConvTranspose1d(dim, dim, 4, 2, 1)
-
-    def forward(self, x):
-        return self.conv(x)
-
-
-def _sin_emb(t, dim):
-    half = dim // 2
-    freqs = torch.exp(-np.log(10000.0) / (half - 1) * torch.arange(half))
-    args = t.float()[:, None] * freqs[None, :]
-    return torch.cat([args.sin(), args.cos()], dim=-1)
-
-
-class TorchTrajNet(tnn.Module):
-    """Reference-named TrajNet twin (model/trajnet.py:80-175)."""
-
-    def __init__(self, traj=TRAJ, mid=MID, time_dim=32, trajcontrol=False):
-        super().__init__()
-        self.trajcontrol = trajcontrol
-        self.time_dim = time_dim
-        self.time_mlp = tnn.Sequential(
-            tnn.Identity(), tnn.Linear(time_dim, time_dim * 4), tnn.Mish(),
-            tnn.Linear(time_dim * 4, time_dim),
-        )
-        self.diff_enc1 = TRTB(traj, mid // 8)
-        self.diff_downsample1 = TDown(mid // 8 * 2)
-        self.diff_enc2 = TRTB(mid // 8 * 2, mid // 4)
-        self.diff_downsample2 = TDown(mid // 4 * 2)
-        self.diff_enc3 = TRTB(mid // 4 * 2, mid // 2)
-        self.diff_downsample3 = TDown(mid // 2 * 2)
-        self.diff_enc4 = TRTB(mid // 2 * 2, mid)
-        self.diff_downsample4 = TDown(mid * 2)
-        self.diff_mid_block1 = TRTB(mid * 2, mid)
-        self.diff_mid_block2 = TRTB(mid, mid)
-        self.diff_upsample4 = TUp(mid)
-        self.diff_dec4 = TRTB(mid * 2, mid // 2)
-        self.diff_upsample3 = TUp(mid // 2)
-        self.diff_dec3 = TRTB(mid // 2 * 2, mid // 4)
-        self.diff_upsample2 = TUp(mid // 4)
-        self.diff_dec2 = TRTB(mid // 4 * 2, mid // 8)
-        self.diff_upsample1 = TUp(mid // 8)
-        self.diff_dec1 = TRTB(mid // 8 * 2, 32)
-        self.diff_final_conv = tnn.Sequential(TConv1dBlock(32, 32, 5), tnn.Conv1d(32, traj, 1))
-        self.cond_enc1 = TRTB(traj, mid // 8, input_t=False)
-        self.cond_downsample1 = TDown(mid // 8)
-        self.cond_enc2 = TRTB(mid // 8, mid // 4, input_t=False)
-        self.cond_downsample2 = TDown(mid // 4)
-        self.cond_enc3 = TRTB(mid // 4, mid // 2, input_t=False)
-        self.cond_downsample3 = TDown(mid // 2)
-        self.cond_enc4 = TRTB(mid // 2, mid, input_t=False)
-        self.cond_downsample4 = TDown(mid)
-        if trajcontrol:
-            self.controlnet = TorchControlNet(traj=traj, mid=mid, time_dim=time_dim)
-
-    def forward(self, x, cond, time, control_cond=None):
-        t = self.time_mlp(_sin_emb(time, self.time_dim))
-        c = cond.permute(0, 2, 1)
-        h_cond = []
-        c = self.cond_enc1(c, None); h_cond.append(c); c = self.cond_downsample1(c)
-        c = self.cond_enc2(c, None); h_cond.append(c); c = self.cond_downsample2(c)
-        c = self.cond_enc3(c, None); h_cond.append(c); c = self.cond_downsample3(c)
-        c = self.cond_enc4(c, None); h_cond.append(c)
-
-        if self.trajcontrol:
-            zc1, zc2, zc3, zc4, zcm = self.controlnet(control_cond, h_cond, t)
-
-        x = x.permute(0, 2, 1)
-        h = []
-        x = self.diff_enc1(x, t); h.append(x)
-        x = self.diff_downsample1(torch.cat([x, h_cond[0]], dim=1))
-        x = self.diff_enc2(x, t); h.append(x)
-        x = self.diff_downsample2(torch.cat([x, h_cond[1]], dim=1))
-        x = self.diff_enc3(x, t); h.append(x)
-        x = self.diff_downsample3(torch.cat([x, h_cond[2]], dim=1))
-        x = self.diff_enc4(x, t); h.append(x)
-        x = self.diff_downsample4(torch.cat([x, h_cond[3]], dim=1))
-        x = self.diff_mid_block1(x, t)
-        x = self.diff_mid_block2(x, t)
-        if self.trajcontrol:
-            x = x + zcm
-        x = self.diff_upsample4(x)
-        x = self.diff_dec4(torch.cat([x, h[-1]], dim=1), t)
-        if self.trajcontrol:
-            x = x + zc4
-        x = self.diff_upsample3(x)
-        x = self.diff_dec3(torch.cat([x, h[-2]], dim=1), t)
-        if self.trajcontrol:
-            x = x + zc3
-        x = self.diff_upsample2(x)
-        x = self.diff_dec2(torch.cat([x, h[-3]], dim=1), t)
-        if self.trajcontrol:
-            x = x + zc2
-        x = self.diff_upsample1(x)
-        x = self.diff_dec1(torch.cat([x, h[-4]], dim=1), t)
-        if self.trajcontrol:
-            x = x + zc1
-        x = self.diff_final_conv(x)
-        return x.permute(0, 2, 1)
-
-
-class TorchControlNet(tnn.Module):
-    def __init__(self, traj=TRAJ, mid=MID, time_dim=32, control_cond_dim=272):
-        super().__init__()
-        self.control_zero_conv_0 = tnn.Conv1d(control_cond_dim, traj, 1)
-        self.control_enc1 = TRTB(traj, mid // 8)
-        self.control_zero_conv_1 = tnn.Conv1d(mid // 8, 32, 1)
-        self.control_downsample1 = TDown(mid // 8 * 2)
-        self.control_enc2 = TRTB(mid // 8 * 2, mid // 4)
-        self.control_zero_conv_2 = tnn.Conv1d(mid // 8 * 2, mid // 8, 1)
-        self.control_downsample2 = TDown(mid // 4 * 2)
-        self.control_enc3 = TRTB(mid // 4 * 2, mid // 2)
-        self.control_zero_conv_3 = tnn.Conv1d(mid // 4 * 2, mid // 4, 1)
-        self.control_downsample3 = TDown(mid // 2 * 2)
-        self.control_enc4 = TRTB(mid // 2 * 2, mid)
-        self.control_zero_conv_4 = tnn.Conv1d(mid, mid // 4 * 2, 1)
-        self.control_downsample4 = TDown(mid * 2)
-        self.control_mid_block1 = TRTB(mid * 2, mid)
-        self.control_mid_block2 = TRTB(mid, mid)
-        self.control_zero_conv_mid = tnn.Conv1d(mid, mid, 1)
-
-    def forward(self, control_cond, h_cond, t):
-        c = control_cond.permute(0, 2, 1)
-        c = self.control_zero_conv_0(c)
-        c = self.control_enc1(c, t)
-        z1 = self.control_zero_conv_1(c)
-        c = self.control_downsample1(torch.cat([c, h_cond[0]], dim=1))
-        c = self.control_enc2(c, t)
-        z2 = self.control_zero_conv_2(c)
-        c = self.control_downsample2(torch.cat([c, h_cond[1]], dim=1))
-        c = self.control_enc3(c, t)
-        z3 = self.control_zero_conv_3(c)
-        c = self.control_downsample3(torch.cat([c, h_cond[2]], dim=1))
-        c = self.control_enc4(c, t)
-        z4 = self.control_zero_conv_4(c)
-        c = self.control_downsample4(torch.cat([c, h_cond[3]], dim=1))
-        c = self.control_mid_block1(c, t)
-        c = self.control_mid_block2(c, t)
-        zm = self.control_zero_conv_mid(c)
-        return z1, z2, z3, z4, zm
-
-
-def _strip_twin_names(state_dict):
-    """The torch twin's Unflatten/Flatten layers shift Sequential indices vs
-    the reference (which uses einops Rearrange, parameterless). Twin uses
-    block.{0 conv, 2 groupnorm} already — nothing to strip; convtranspose/
-    conv names match. Just drop non-parameter buffers."""
-    return {k: v for k, v in state_dict.items() if v is not None}
-
-
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("trajcontrol", [False, True])
-def test_trajnet_conversion_parity(trajcontrol):
-    torch.manual_seed(0)
-    tmodel = TorchTrajNet(trajcontrol=trajcontrol).eval()
-    # randomize zero convs so the branch actually contributes
-    if trajcontrol:
-        for name, p in tmodel.controlnet.named_parameters():
-            if "zero_conv" in name:
-                tnn.init.normal_(p, std=0.05)
-    sd = _strip_twin_names(tmodel.state_dict())
-    sd = {k: v.detach().numpy() for k, v in sd.items()}
-    flat = convert_trajnet(sd, trajcontrol=trajcontrol)
-
-    fmodel = TrajNet(traj_feat_dim=TRAJ, cond_dim=TRAJ, mid_dim=MID, trajcontrol=trajcontrol)
-    x = np.random.default_rng(1).normal(size=(B, T, TRAJ)).astype(np.float32)
-    cond = np.random.default_rng(2).normal(size=(B, T, TRAJ)).astype(np.float32)
-    cc = np.random.default_rng(3).normal(size=(B, T, 272)).astype(np.float32)
-    ts = np.array([7, 42])
-
-    kwargs = {"control_cond": jnp.asarray(cc)} if trajcontrol else {}
-    params_like = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond),
-                              jnp.asarray(ts), **kwargs)
+def _check_param_cover(fmodel, flat, init_args, init_kwargs):
+    params_like = fmodel.init(jax.random.PRNGKey(0), *init_args, **init_kwargs)
     like_flat = flax.traverse_util.flatten_dict(params_like, sep="/")
     missing = set(like_flat) - set(flat)
     extra = set(flat) - set(like_flat)
@@ -255,74 +67,177 @@ def test_trajnet_conversion_parity(trajcontrol):
     assert not extra, f"converter produced unknown params: {sorted(extra)[:8]}"
     for k in like_flat:
         assert like_flat[k].shape == flat[k].shape, (
-            f"{k}: {like_flat[k].shape} vs {flat[k].shape}"
+            f"{k}: flax {like_flat[k].shape} vs converted {flat[k].shape}"
         )
-    params = flax.traverse_util.unflatten_dict(
-        {k: jnp.asarray(v) for k, v in flat.items()}, sep="/"
-    )
-
-    with torch.no_grad():
-        ref = tmodel(torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(ts),
-                     control_cond=torch.from_numpy(cc) if trajcontrol else None).numpy()
-    out = np.asarray(fmodel.apply(params, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts),
-                                  **kwargs))
-    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
-def test_posenet_conversion_parity():
-    torch.manual_seed(0)
-    d, heads, layers, ff = 64, 4, 2, 128
+def _make_ref_trajnet(ref, traj, trajcontrol, seed=0):
+    torch.manual_seed(seed)
+    tmodel = ref.trajnet.TrajNet(
+        time_dim=32, cond_dim=traj, mid_dim=MID, traj_feat_dim=traj,
+        trajcontrol=trajcontrol, control_cond_dim=272,
+    ).eval()
+    if trajcontrol:
+        # zero convs are zero_module()-initialized; randomize them so the
+        # ControlNet branch actually contributes to the output under test
+        with torch.no_grad():
+            for name, p in tmodel.controlnet.named_parameters():
+                if "zero_conv" in name:
+                    torch.nn.init.normal_(p, std=0.05)
+    return tmodel
 
-    class TorchPoseNet(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.input_process = tnn.Module()
-            self.input_process.poseEmbedding = tnn.Linear(294, d)
-            self.input_process_cond = tnn.Module()
-            self.input_process_cond.poseEmbedding = tnn.Linear(294, d)
-            self.embed_timestep = tnn.Module()
-            self.embed_timestep.time_embed = tnn.Sequential(
-                tnn.Linear(d, d), tnn.SiLU(), tnn.Linear(d, d)
-            )
-            layer = tnn.TransformerEncoderLayer(d_model=d, nhead=heads, dim_feedforward=ff,
-                                                dropout=0.0, activation="gelu")
-            self.seqTransEncoder = tnn.TransformerEncoder(layer, num_layers=layers)
-            self.output_process = tnn.Module()
-            self.output_process.poseFinal = tnn.Linear(d, 272)
 
-        def forward(self, x, cond, t, pe):
-            # [B,T,294] seq-first like the reference
-            emb = self.embed_timestep.time_embed(pe[t])[:, None]  # [B,1,d]
-            h = self.input_process.poseEmbedding(x) + self.input_process_cond.poseEmbedding(cond)
-            seq = torch.cat([emb, h], dim=1)  # [B, T+1, d]
-            seq = seq + pe[None, : seq.shape[1]]
-            seq = self.seqTransEncoder(seq.permute(1, 0, 2)).permute(1, 0, 2)
-            out = self.output_process.poseFinal(seq[:, 1:])
-            return torch.cat([cond[..., :22], out], dim=-1)
-
-    tmodel = TorchPoseNet().eval()
+@pytest.mark.parametrize(
+    "trajcontrol,traj", [(False, 13), (False, 22), (True, 13)]
+)
+def test_trajnet_conversion_parity_real_reference(ref, trajcontrol, traj):
+    """convert_trajnet on the real reference TrajNet/ControlNet state_dict
+    reproduces the reference forward (trajnet.py:80-275) to <=2e-4."""
+    tmodel = _make_ref_trajnet(ref, traj, trajcontrol)
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    flat = convert_posenet(sd, num_layers=layers, num_heads=heads, latent_dim=d)
+    flat = convert_trajnet(sd, trajcontrol=trajcontrol)
 
-    fmodel = PoseNet(latent_dim=d, ff_size=ff, num_layers=layers, num_heads=heads, dropout=0.0)
-    x = np.random.default_rng(1).normal(size=(B, 15, 294)).astype(np.float32)
-    cond = np.random.default_rng(2).normal(size=(B, 15, 294)).astype(np.float32)
-    ts = np.array([3, 900])
-    params_like = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond),
-                              jnp.asarray(ts))
-    like_flat = flax.traverse_util.flatten_dict(params_like, sep="/")
-    assert set(like_flat) == set(flat), (
-        f"missing {sorted(set(like_flat) - set(flat))[:6]} "
-        f"extra {sorted(set(flat) - set(like_flat))[:6]}"
-    )
-    params = flax.traverse_util.unflatten_dict(
-        {k: jnp.asarray(v) for k, v in flat.items()}, sep="/"
-    )
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, T, traj)).astype(np.float32)
+    cond = rng.normal(size=(B, T, traj)).astype(np.float32)
+    cc = rng.normal(size=(B, T, 272)).astype(np.float32)
+    ts = np.array([7, 42])
 
-    from rohm_tpu.models.blocks import transformer_pe_table
-
-    pe = torch.from_numpy(transformer_pe_table(5000, d))
+    batch = {"x_t": torch.from_numpy(x), "cond": torch.from_numpy(cond)}
+    if trajcontrol:
+        batch["control_cond"] = torch.from_numpy(cc)
     with torch.no_grad():
-        ref = tmodel(torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(ts), pe).numpy()
-    out = np.asarray(fmodel.apply(params, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts)))
-    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+        want = tmodel(batch, torch.from_numpy(ts)).numpy()
+
+    fmodel = TrajNet(
+        traj_feat_dim=traj, cond_dim=traj, mid_dim=MID, trajcontrol=trajcontrol
+    )
+    kwargs = {"control_cond": jnp.asarray(cc)} if trajcontrol else {}
+    _check_param_cover(
+        fmodel, flat, (jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts)), kwargs
+    )
+    out = np.asarray(
+        fmodel.apply(
+            _to_flax_params(flat), jnp.asarray(x), jnp.asarray(cond),
+            jnp.asarray(ts), **kwargs,
+        )
+    )
+    np.testing.assert_allclose(out, want, atol=2e-4, rtol=1e-3)
+
+
+def test_posenet_conversion_parity_real_reference(ref):
+    """convert_posenet on the real reference PoseNet (512d/8L/4H, posenet.py:
+    11-96) reproduces its forward through the native [bs, 294, 1, T] layout."""
+    torch.manual_seed(0)
+    dataset_stub = types.SimpleNamespace(pose_feat_dim=272)
+    tmodel = ref.posenet.PoseNet(
+        dataset=dataset_stub, body_feat_dim=294, latent_dim=512, ff_size=1024,
+        num_layers=8, num_heads=4, dropout=0.1, activation="gelu",
+        body_model_path="", traj_feat_dim=22,
+    ).eval()
+    sd = {
+        k: v.detach().numpy()
+        for k, v in tmodel.state_dict().items()
+        if not k.startswith("sequence_pos_encoder.")  # pe buffer, not a param
+    }
+    flat = convert_posenet(sd, num_layers=8, num_heads=4, latent_dim=512)
+
+    rng = np.random.default_rng(2)
+    t_frames = 24
+    x = rng.normal(size=(B, t_frames, 294)).astype(np.float32)
+    cond = rng.normal(size=(B, t_frames, 294)).astype(np.float32)
+    ts = np.array([3, 900])
+
+    # reference layout: [bs, body_feat_dim, 1, T] (training_loop_posenet.py:204)
+    batch = {
+        "x_t": torch.from_numpy(x).permute(0, 2, 1)[:, :, None, :],
+        "cond": torch.from_numpy(cond).permute(0, 2, 1)[:, :, None, :],
+    }
+    with torch.no_grad():
+        want = tmodel(batch, torch.from_numpy(ts)).numpy()  # [bs, 294, 1, T]
+    want = np.transpose(want[:, :, 0, :], (0, 2, 1))  # -> [bs, T, 294]
+
+    fmodel = PoseNet()
+    _check_param_cover(
+        fmodel, flat, (jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts)), {}
+    )
+    out = np.asarray(
+        fmodel.apply(
+            _to_flax_params(flat), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts)
+        )
+    )
+    np.testing.assert_allclose(out, want, atol=2e-4, rtol=1e-3)
+
+
+def test_trajcontrol_bootstrap_matches_reference_copy(ref):
+    """bootstrap_trajcontrol == the reference's backbone->controlnet copy
+    (train_trajnet.py:149-164: strict=False load + every 'diff_*' key cloned
+    to 'controlnet.control_*'), verified through the converter and by forward
+    parity on the bootstrapped weights."""
+    from rohm_tpu.cli.common import bootstrap_trajcontrol
+
+    traj = 13
+    backbone = _make_ref_trajnet(ref, traj, trajcontrol=False, seed=3)
+    weights_backbone = backbone.state_dict()
+
+    # the reference's own copy rule, applied to a freshly constructed
+    # trajcontrol model (zero convs keep their zero init)
+    torch.manual_seed(3)  # same seed: shared submodules init identically
+    tc_model = ref.trajnet.TrajNet(
+        time_dim=32, cond_dim=traj, mid_dim=MID, traj_feat_dim=traj,
+        trajcontrol=True, control_cond_dim=272,
+    ).eval()
+    tc_model.load_state_dict(weights_backbone, strict=False)
+    copied = {}
+    for key in weights_backbone:
+        if key.split(".")[0].split("_")[0] == "diff":
+            copied["controlnet.control" + key[4:]] = weights_backbone[key]
+    tc_model.load_state_dict(copied, strict=False)
+
+    want_flat = convert_trajnet(
+        {k: v.detach().numpy() for k, v in tc_model.state_dict().items()},
+        trajcontrol=True,
+    )
+
+    # this framework's bootstrap: converted backbone + zero-init control model
+    backbone_params = _to_flax_params(
+        convert_trajnet(
+            {k: v.detach().numpy() for k, v in weights_backbone.items()},
+            trajcontrol=False,
+        )
+    )
+    fmodel = TrajNet(traj_feat_dim=traj, cond_dim=traj, mid_dim=MID, trajcontrol=True)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, T, traj)).astype(np.float32)
+    cond = rng.normal(size=(B, T, traj)).astype(np.float32)
+    cc = rng.normal(size=(B, T, 272)).astype(np.float32)
+    ts = np.array([5, 77])
+    init_params = fmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts),
+        control_cond=jnp.asarray(cc),
+    )
+    boot_params = bootstrap_trajcontrol(init_params, backbone_params)
+
+    boot_flat = flax.traverse_util.flatten_dict(boot_params, sep="/")
+    assert set(boot_flat) == set(want_flat)
+    for k in sorted(want_flat):
+        np.testing.assert_array_equal(
+            np.asarray(boot_flat[k]), want_flat[k], err_msg=k
+        )
+
+    # forward parity of the bootstrapped models (zero convs zero: the branch
+    # is silent, but the frozen backbone must match exactly)
+    batch = {
+        "x_t": torch.from_numpy(x),
+        "cond": torch.from_numpy(cond),
+        "control_cond": torch.from_numpy(cc),
+    }
+    with torch.no_grad():
+        want = tc_model(batch, torch.from_numpy(ts)).numpy()
+    out = np.asarray(
+        fmodel.apply(
+            boot_params, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(ts),
+            control_cond=jnp.asarray(cc),
+        )
+    )
+    np.testing.assert_allclose(out, want, atol=2e-4, rtol=1e-3)
