@@ -84,10 +84,14 @@ def evaluate_recording(saved_data: dict, dataset: str) -> dict:
         ground = PROX_FLOOR_HEIGHT[scene]
         up = 2
     else:
-        # scene name via floor-height key match is not stored; EgoBody pickles
-        # carry gt joints whose min height approximates the floor
+        # per-scene preset floor height, via the scene_name stored in the
+        # result pickle (reference eval_prox_egobody.py:256-264); legacy
+        # pickles without it fall back to the GT-joint min approximation
         up = 1
-        ground = None
+        scene = saved_data.get("scene_name", "")
+        ground = EGOBODY_FLOOR_HEIGHT.get(scene)
+        if ground is None and scene:
+            print(f"[WARN] no preset floor height for scene '{scene}'")
 
     out = {}
     clip_len = rec_scene.shape[1]
@@ -108,6 +112,45 @@ def evaluate_recording(saved_data: dict, dataset: str) -> dict:
     return out
 
 
+def visualize_recording(saved_data: dict, args) -> None:
+    """Open3d skeleton animation of input vs reconstruction in scene coords,
+    one clip every vis_interval (reference eval_prox_egobody.py:312-370)."""
+    from rohm_tpu.viz.results import animate_skeletons
+    from rohm_tpu.viz.skeleton import COLOR_GT, COLOR_VIS
+
+    rec_scene = _to_scene(
+        saved_data["rec_ric_data_rec_list_from_smpl"],
+        saved_data["trans_scene2cano_list"],
+    )
+    inp = saved_data["joints_input_scene_coord_list"]
+    contact = saved_data["motion_repr_rec_list"][..., -4:]
+    for idx in range(0, len(rec_scene), max(args.vis_interval, 1)):
+        t_len = rec_scene.shape[1]
+        animate_skeletons(
+            [inp[idx][:t_len], rec_scene[idx]],
+            [COLOR_GT, COLOR_VIS],
+            contact=contact[idx],
+        )
+
+
+def render_recording(saved_data: dict, args, body_model) -> None:
+    """Overlay reconstructions on the recording's RGB frames (reference
+    eval_prox_egobody.py:372-451); intrinsics come from the result pickle."""
+    from rohm_tpu.viz.results import render_prox_overlay
+
+    color_cam = saved_data.get("color_cam") or {
+        "f": [1000.0, 1000.0], "c": [960.0, 540.0]
+    }
+    recording_dir = os.path.join(
+        args.dataset_root, "recordings", saved_data["recording_name"], "Color"
+    )
+    render_prox_overlay(
+        saved_data, body_model, recording_dir, color_cam,
+        os.path.join(args.render_save_path, saved_data["recording_name"]),
+        render_interval=args.render_interval,
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.recording_list:
@@ -116,6 +159,12 @@ def main(argv=None):
         recordings = [args.recording_name]
     else:
         recordings = PROX_TEST_RECORDINGS if args.dataset == "prox" else EGOBODY_TEST_RECORDINGS
+
+    body_model = None
+    if args.render:
+        from rohm_tpu.cli.common import resolve_body_model
+
+        body_model = resolve_body_model(args.body_model_path)
 
     per_rec = []
     for name in recordings:
@@ -126,6 +175,10 @@ def main(argv=None):
         with open(path, "rb") as f:
             saved = pickle.load(f)
         per_rec.append(evaluate_recording(saved, args.dataset))
+        if args.visualize:
+            visualize_recording(saved, args)
+        if args.render:
+            render_recording(saved, args, body_model)
 
     assert per_rec, "no result pickles found"
     agg = {}

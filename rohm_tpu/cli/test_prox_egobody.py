@@ -182,6 +182,11 @@ def main(argv=None):
         "repr_dim_dict": REPR_DIM_DICT,
         "recording_name": args.recording_name,
         "frame_name_list": frame_names,
+        # scene name travels with the results so eval can use the per-scene
+        # preset floor height (reference eval_prox_egobody.py:256-264) and
+        # intrinsics so --render needs no dataset access
+        "scene_name": getattr(test_pose_dataset, "scene_name", ""),
+        "color_cam": getattr(test_pose_dataset, "color_cam", None),
     }
     if args.dataset == "egobody":
         save_data["gender_gt"] = test_pose_dataset.gender_gt

@@ -197,6 +197,7 @@ class VideoClipDataset:
     def _read_prox(self, init_root: str, base_dir: str):
         fitting_dir = os.path.join(init_root, self.recording_name, "results")
         scene_name = self.recording_name.split("_")[0]
+        self.scene_name = scene_name
         self.scene_floor_height = PROX_FLOOR_HEIGHT.get(scene_name)
         with open(os.path.join(base_dir, "cam2world", scene_name + ".json")) as f:
             cam2world = np.array(json.load(f))
