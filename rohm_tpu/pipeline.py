@@ -145,8 +145,24 @@ class RohmPipeline:
     infill_traj: bool = False
     guidance_override: tuple = field(default=None)
     mesh: Any = None  # optional jax.sharding.Mesh: shard the batch on 'data'
-    fused_posenet: bool = False  # Pallas fused encoder layers for PoseNet
+    # Pallas fused encoder layers for PoseNet: False = flax, True/"bf16" =
+    # bf16 kernel (fastest; params cast once), "f32" = round-1 f32 kernel
+    fused_posenet: Any = False
     _jitted: Any = field(default=None, init=False, repr=False)
+    _prepared_posenet: Any = field(default=None, init=False, repr=False)
+
+    def _ensure_prepared(self):
+        """One-time bf16 cast/fuse of PoseNet params (outside the scan)."""
+        if self._prepared_posenet is None:
+            from rohm_tpu.ops import prepare_posenet_fused
+
+            object.__setattr__(
+                self, "_prepared_posenet",
+                prepare_posenet_fused(
+                    self.posenet_params, num_layers=self.posenet.num_layers
+                ),
+            )
+        return self._prepared_posenet
 
     def _guidance(self, guidance_data: dict):
         if self.guidance_override is not None:
@@ -236,7 +252,20 @@ class RohmPipeline:
             if iter_idx < mask_iter_num:
                 cond = cond * pose_mask
 
-            if self.fused_posenet:
+            if self.fused_posenet in (True, "bf16"):
+                from rohm_tpu.ops import embed_cond, posenet_apply_prepared
+
+                prep = self._ensure_prepared()
+                cond_emb = embed_cond(prep, cond)
+
+                def pose_model_fn(x, tt, cond=cond, cond_emb=cond_emb):
+                    return posenet_apply_prepared(
+                        prep, x, cond, tt,
+                        num_heads=self.posenet.num_heads,
+                        traj_feat_dim=self.posenet.traj_feat_dim,
+                        cond_emb=cond_emb,
+                    )
+            elif self.fused_posenet == "f32":
                 from rohm_tpu.ops import posenet_apply_fused
 
                 def pose_model_fn(x, tt, cond=cond):

@@ -57,3 +57,54 @@ def test_fused_sampler_integration(posenet_setup):
     out_fused = np.asarray(s_fused(params, cond, key))
     # same PRNG stream + numerically-equivalent model -> near-identical chains
     np.testing.assert_allclose(out_fused, out_flax, atol=1e-3, rtol=1e-3)
+
+
+class TestBf16Fused:
+    """bf16 production kernel (transformer_layer_bf16): parity with the flax
+    path within the bf16 rounding envelope, exercised in interpret mode."""
+
+    def test_layer_matches_flax_bf16_envelope(self, posenet_setup):
+        from rohm_tpu.ops import fused_encoder_layer_bf16
+        from rohm_tpu.ops.transformer_layer_bf16 import prepare_layer_bf16
+
+        _, params, *_ = posenet_setup
+        layer_params = params["params"]["layer_0"]
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, 16, D))
+
+        flax_layer = TransformerEncoderLayer(D, HEADS, FF, dropout=0.0)
+        ref = np.asarray(flax_layer.apply({"params": layer_params}, x, train=False))
+        prepared = prepare_layer_bf16(layer_params)
+        out = np.asarray(
+            fused_encoder_layer_bf16(
+                x.astype(jnp.bfloat16), prepared, num_heads=HEADS, interpret=True
+            ).astype(jnp.float32)
+        )
+        # bf16 activations: ~8e-3 relative rounding; post-LN output is O(1)
+        np.testing.assert_allclose(out, ref, atol=6e-2)
+        assert np.abs(out - ref).mean() < 1e-2
+
+    def test_posenet_prepared_matches_flax(self, posenet_setup):
+        from rohm_tpu.ops import (
+            embed_cond,
+            posenet_apply_prepared,
+            prepare_posenet_fused,
+        )
+
+        model, params, x, cond, t = posenet_setup
+        ref = np.asarray(model.apply(params, x, cond, t))
+        prep = prepare_posenet_fused(params, num_layers=LAYERS)
+        out = np.asarray(
+            posenet_apply_prepared(prep, x, cond, t, num_heads=HEADS, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=6e-2)
+        assert np.abs(out - ref).mean() < 1e-2
+        # traj passthrough dims must be exact (copied from cond, not computed)
+        np.testing.assert_array_equal(out[..., :22], np.asarray(cond)[..., :22])
+        # hoisted cond embedding is bit-identical to inline
+        out2 = np.asarray(
+            posenet_apply_prepared(
+                prep, x, cond, t, num_heads=HEADS, interpret=True,
+                cond_emb=embed_cond(prep, cond),
+            )
+        )
+        np.testing.assert_array_equal(out, out2)

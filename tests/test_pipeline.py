@@ -153,3 +153,50 @@ def test_eval_metrics_on_synthetic():
     assert accel_error(j, j) == 0.0
     freq, dist = ground_penetration(j, floor_joints=j)
     assert freq >= 0 and dist <= 0
+
+
+def test_pipeline_bf16_fused_matches_flax(body, datasets):
+    """fused_posenet=True (bf16 Pallas kernels, interpret mode on CPU) tracks
+    the flax pipeline on the same PRNG stream within the bf16 envelope."""
+    ds_traj, ds_pose = datasets
+    t_traj = CLIP_LEN - 1
+    model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    model_trajcontrol = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64, trajcontrol=True)
+    model_posenet = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+
+    key = jax.random.PRNGKey(0)
+    p_traj = model_trajnet.init(key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32))
+    p_ctrl = model_trajcontrol.init(
+        key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32),
+        control_cond=jnp.zeros((1, t_traj, 272)),
+    )
+    p_pose = model_posenet.init(key, jnp.zeros((1, t_traj - 1, 294)), jnp.zeros((1, t_traj - 1, 294)), jnp.zeros(1, jnp.int32))
+
+    def make(fused):
+        return RohmPipeline(
+            trajnet=model_trajnet, trajnet_params=p_traj,
+            trajcontrol=model_trajcontrol, trajcontrol_params=p_ctrl,
+            posenet=model_posenet, posenet_params=p_pose,
+            sched_traj=make_schedule("cosine", 4),
+            sched_pose=make_schedule("cosine", 6),
+            body_model=body,
+            mean=jnp.asarray(ds_pose.mean), std=jnp.asarray(ds_pose.std),
+            repr_abs_only=True, traj_feat_dim=13, sample_iter=1,
+            grad_type=None, mask_scheme="lower", input_noise=True,
+            fused_posenet=fused,
+        )
+
+    bt = next(ds_traj.batches(2, shuffle=False))
+    bp_items = [ds_pose[i] for i in range(2)]
+    pose_noisy = np.stack([it["motion_repr_noisy"] for it in bp_items])
+    pose_mask = amass_eval_pose_mask("lower", 2, t_traj - 1)
+    traj_mask = np.ones((2, t_traj), np.float32)
+    args = (bt["cond"], bt["motion_repr_clean"], pose_noisy, pose_mask, traj_mask,
+            jax.random.PRNGKey(1))
+
+    pose_flax, traj_flax = make(False).run_batch(*args)
+    pose_bf16, traj_bf16 = make(True).run_batch(*args)
+    np.testing.assert_array_equal(np.asarray(traj_bf16), np.asarray(traj_flax))
+    dev = np.abs(np.asarray(pose_bf16) - np.asarray(pose_flax))
+    assert dev.max() < 0.25, f"bf16 pipeline deviates too much: {dev.max()}"
+    assert dev.mean() < 0.02
