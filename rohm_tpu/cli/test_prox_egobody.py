@@ -131,11 +131,29 @@ def main(argv=None):
     frame_names = None
     key = jax.random.PRNGKey(args.seed)
 
-    pose_batches = test_pose_dataset.batches(args.batch_size)
-    traj_batches = test_traj_dataset.batches(args.batch_size)
+    # jitted pickle decode (mean/std as args -> compilation-cache-stable);
+    # batches padded to one shape so every recording reuses one program
+    mean_d, std_d = jnp.asarray(mean), jnp.asarray(std)
+
+    @jax.jit
+    def decode_batch(val_pose, pose_noisy, mean_a, std_a):
+        noisy = pose_noisy[:, : t_repr - 1] * std_a + mean_a
+        rec = val_pose * std_a + mean_a
+        return (
+            noisy, rec,
+            recover_from_repr(split_repr(noisy), mode="smplx_params", body_model=body),
+            recover_from_repr(split_repr(rec), mode="joint_abs_traj"),
+            recover_from_repr(split_repr(rec), mode="smplx_params", body_model=body),
+        )
+
+    pending = []
+    pose_batches = test_pose_dataset.batches(args.batch_size, pad_last=True)
+    traj_batches = test_traj_dataset.batches(args.batch_size, pad_last=True)
     for step, (bp, bt) in enumerate(zip(pose_batches, traj_batches)):
         if args.max_batches and step >= args.max_batches:
             break
+        valid = bp.pop("_valid")
+        bt.pop("_valid")
         # mask_vec_vis[:, :-2] masks the T-2=143-frame PoseNet condition
         # (test_prox_egobody.py:306-309)
         pose_mask = bp["mask_vec_vis"][:, : t_repr - 1].copy()
@@ -154,28 +172,28 @@ def main(argv=None):
             pose_mask, np.ones(bt["cond"].shape[:2], np.float32), sub,
             guidance_data=guidance_data,
         )
-        val_pose = np.asarray(val_pose)
+        entry = {"valid": valid, "bp": bp}
+        (
+            entry["motion_repr_noisy"], entry["motion_repr_rec"],
+            entry["rec_ric_data_noisy"], entry["rec_from_abs_traj"], entry["rec_from_smpl"],
+        ) = decode_batch(val_pose, jnp.asarray(bp["motion_repr_noisy"]), mean_d, std_d)
+        pending.append(entry)
+        print(f"[test_prox_egobody] batch {step}: dispatched")
 
-        noisy = bp["motion_repr_noisy"][:, : t_repr - 1] * std + mean
-        rec = val_pose * std + mean
-
-        def joints(repr_dn, mode):
-            return np.asarray(
-                recover_from_repr(split_repr(jnp.asarray(repr_dn)), mode=mode, body_model=body)
-            )
-
-        out["trans_scene2cano_list"].append(bp["transf_matrix"])
-        out["rec_ric_data_noisy_list"].append(joints(noisy, "smplx_params"))
-        out["rec_ric_data_rec_list_from_abs_traj"].append(joints(rec, "joint_abs_traj"))
-        out["rec_ric_data_rec_list_from_smpl"].append(joints(rec, "smplx_params"))
-        out["joints_input_scene_coord_list"].append(bp["noisy_joints_scene_coord"])
+    frame_names = []
+    for e in pending:
+        v, bp = e["valid"], e["bp"]
+        frame_names.extend(bp["frame_name"][:v])
+        out["trans_scene2cano_list"].append(bp["transf_matrix"][:v])
+        out["rec_ric_data_noisy_list"].append(np.asarray(e["rec_ric_data_noisy"])[:v])
+        out["rec_ric_data_rec_list_from_abs_traj"].append(np.asarray(e["rec_from_abs_traj"])[:v])
+        out["rec_ric_data_rec_list_from_smpl"].append(np.asarray(e["rec_from_smpl"])[:v])
+        out["joints_input_scene_coord_list"].append(bp["noisy_joints_scene_coord"][:v])
         if args.dataset == "egobody":
-            out["joints_gt_scene_coord_list"].append(bp["gt_joints_scene_coord"])
-        out["motion_repr_rec_list"].append(rec)
-        out["motion_repr_noisy_list"].append(noisy)
-        out["mask_joint_vis_list"].append(bp["mask_joint_vis"][:, : t_repr - 1])
-        frame_names = bp["frame_name"]
-        print(f"[test_prox_egobody] batch {step}: done")
+            out["joints_gt_scene_coord_list"].append(bp["gt_joints_scene_coord"][:v])
+        out["motion_repr_rec_list"].append(np.asarray(e["motion_repr_rec"])[:v])
+        out["motion_repr_noisy_list"].append(np.asarray(e["motion_repr_noisy"])[:v])
+        out["mask_joint_vis_list"].append(bp["mask_joint_vis"][:v, : t_repr - 1])
 
     save_data = {
         "repr_name_list": REPR_LIST,

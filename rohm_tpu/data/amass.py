@@ -62,14 +62,15 @@ def _euler_noise_rotvec(rotvec: np.ndarray, noise_deg: np.ndarray) -> np.ndarray
 def _chunked_jax(fn, n: int, chunk: int, *arrays):
     """Apply a jitted fn over leading-dim chunks and concatenate on host.
 
-    The final short chunk is padded to the full chunk size (and trimmed after)
-    so every dispatch reuses ONE compiled shape — a ragged tail shape costs a
-    fresh 30-60 s XLA compile on the tunneled TPU."""
+    Any short chunk (the tail, or a dataset smaller than one chunk) is padded
+    to the full chunk size (and trimmed after) so every dispatch reuses ONE
+    compiled shape — a ragged shape costs a fresh 30-60 s XLA compile on the
+    tunneled TPU."""
     outs = []
     for s in range(0, n, chunk):
         parts = [a[s : s + chunk] for a in arrays]
         valid = len(parts[0])
-        if valid < chunk and s > 0:
+        if valid < chunk:
             pad = chunk - valid
             parts = [np.concatenate([p, np.repeat(p[-1:], pad, axis=0)]) for p in parts]
         outs.append(np.asarray(fn(*parts))[:valid])

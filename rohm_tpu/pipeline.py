@@ -164,16 +164,33 @@ class RohmPipeline:
             )
         return self._prepared_posenet
 
-    def _guidance(self, guidance_data: dict):
+    def _weights(self) -> dict:
+        """Model params + stats as ONE pytree passed through jit as an
+        ARGUMENT. Closing over them instead would bake the values into the
+        HLO as literal constants, so every fresh process (new random init /
+        different checkpoint) would miss the persistent compilation cache —
+        measured at ~125 s of recompile per test_amass_full run."""
+        w = {
+            "trajnet": self.trajnet_params,
+            "trajcontrol": self.trajcontrol_params,
+            "posenet": self.posenet_params,
+            "mean": self.mean,
+            "std": self.std,
+        }
+        if self.fused_posenet in (True, "bf16"):
+            w["prep"] = self._ensure_prepared()
+        return w
+
+    def _guidance(self, guidance_data: dict, mean, std):
         if self.guidance_override is not None:
             return self.guidance_override
         if self.grad_type == "amass":
-            return amass_guidance(self.mean, self.std, self.body_model)
+            return amass_guidance(mean, std, self.body_model)
         if self.grad_type == "prox":
             from rohm_tpu.models.guidance import prox_guidance
 
             return prox_guidance(
-                self.mean, self.std, self.body_model,
+                mean, std, self.body_model,
                 guidance_data["transf_matrix"], guidance_data["cam_r"],
                 guidance_data["cam_t"], guidance_data["focal_length"],
                 guidance_data["camera_center"], guidance_data["keypoints_2d"],
@@ -182,6 +199,7 @@ class RohmPipeline:
 
     def _run(
         self,
+        weights: dict,  # _weights() pytree (params + stats [+ fused prep])
         traj_cond: jnp.ndarray,  # [B, 144, traj_feat_dim] (infill mask pre-applied)
         traj_clean: jnp.ndarray,  # [B, 144, 294] normalized (noisy repr on video data)
         pose_noisy: jnp.ndarray,  # [B, 144, 294] normalized (clean traj dims)
@@ -192,7 +210,8 @@ class RohmPipeline:
     ):
         """The fused pipeline. Returns (posenet output [B,143,294],
         traj output [B,144,traj_feat_dim])."""
-        guidance = self._guidance(guidance_data)
+        mean, std = weights["mean"], weights["std"]
+        guidance = self._guidance(guidance_data, mean, std)
         early = self.early_stop_steps if self.early_stop else 0
         b, t_traj = traj_cond.shape[0], traj_cond.shape[1]
         t_pose = t_traj - 1
@@ -204,7 +223,7 @@ class RohmPipeline:
             key, k_traj, k_pose = jax.random.split(key, 3)
             if iter_idx == 0:
                 def model_fn(x, tt):
-                    return self.trajnet.apply(self.trajnet_params, x, cur_traj_cond, tt)
+                    return self.trajnet.apply(weights["trajnet"], x, cur_traj_cond, tt)
 
                 val_output_traj = p_sample_loop(
                     model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
@@ -226,7 +245,7 @@ class RohmPipeline:
 
                 def model_fn(x, tt):
                     return self.trajcontrol.apply(
-                        self.trajcontrol_params, x, cur_traj_cond, tt, control_cond=control_cond
+                        weights["trajcontrol"], x, cur_traj_cond, tt, control_cond=control_cond
                     )
 
                 val_output_traj = p_sample_loop(
@@ -234,7 +253,7 @@ class RohmPipeline:
                 )
 
             traj_rec_full = traj_to_pose_bridge(
-                val_output_traj, traj_clean, self.mean, self.std,
+                val_output_traj, traj_clean, mean, std,
                 self.body_model, self.repr_abs_only,
             )  # [B, 143, 22]
 
@@ -255,7 +274,7 @@ class RohmPipeline:
             if self.fused_posenet in (True, "bf16"):
                 from rohm_tpu.ops import embed_cond, posenet_apply_prepared
 
-                prep = self._ensure_prepared()
+                prep = weights["prep"]
                 cond_emb = embed_cond(prep, cond)
 
                 def pose_model_fn(x, tt, cond=cond, cond_emb=cond_emb):
@@ -270,14 +289,14 @@ class RohmPipeline:
 
                 def pose_model_fn(x, tt, cond=cond):
                     return posenet_apply_fused(
-                        self.posenet_params, x, cond, tt,
+                        weights["posenet"], x, cond, tt,
                         num_layers=self.posenet.num_layers,
                         num_heads=self.posenet.num_heads,
                         traj_feat_dim=self.posenet.traj_feat_dim,
                     )
             else:
                 def pose_model_fn(x, tt, cond=cond):
-                    return self.posenet.apply(self.posenet_params, x, cond, tt)
+                    return self.posenet.apply(weights["posenet"], x, cond, tt)
 
             val_output_pose = p_sample_loop(
                 pose_model_fn, self.sched_pose, (b, t_pose, cond.shape[-1]), k_pose,
@@ -302,7 +321,7 @@ class RohmPipeline:
                     "_jitted",
                     jax.jit(
                         self._run,
-                        in_shardings=(data, data, data, data, data, rep, rep),
+                        in_shardings=(rep, data, data, data, data, data, rep, rep),
                         out_shardings=(data, data),
                     ),
                 )
@@ -310,6 +329,7 @@ class RohmPipeline:
                 object.__setattr__(self, "_jitted", jax.jit(self._run))
         gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
         return self._jitted(
+            self._weights(),
             jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
             jnp.asarray(pose_mask), jnp.asarray(traj_mask), key, gd,
         )

@@ -1,0 +1,122 @@
+"""End-to-end CLI driver runs on synthetic data + golden self-regression.
+
+VERDICT r1 #8: one seeded synthetic test_amass_full run whose metrics are
+asserted against committed golden values (tests/golden/amass_full_tiny.json)
+so numeric drift across rounds is detectable without the license-gated
+datasets. Regenerate with REGEN_GOLDEN=1 python -m pytest tests/test_cli_e2e.py -m ''.
+
+Also the only tests that execute the full test_amass_full / test_prox_egobody
+driver mains (argument parsing -> dataset -> pipeline -> pickle).
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "amass_full_tiny.json")
+
+
+def test_amass_full_cli_and_golden(tmp_path, monkeypatch):
+    from rohm_tpu.cli import test_amass_full as cli
+    from rohm_tpu.cli.eval_amass_full import evaluate
+
+    monkeypatch.chdir(tmp_path)  # no body-model weights -> synthetic fallback
+    pkl_path = cli.main([
+        "--synthetic_data=True",
+        f"--dataset_root={tmp_path / 'amass'}",
+        "--clip_len=17",
+        "--batch_size=4",
+        "--diffusion_steps_posenet=8",
+        "--diffusion_steps_trajnet=5",
+        "--mid_dim=64",
+        "--latent_dim=32",
+        "--load_noise=False",
+        "--mask_scheme=lower",
+        f"--save_root={tmp_path / 'results'}",
+        "--seed=0",
+    ])
+    with open(pkl_path, "rb") as f:
+        saved = pickle.load(f)
+
+    # 3 test datasets x 1 seq x 1 clip, T = 17 - 2 = 15
+    assert saved["rec_ric_data_rec_list_from_smpl"].shape == (3, 15, 22, 3)
+    assert saved["rec_ric_data_clean_list"].shape == (3, 15, 22, 3)
+    assert saved["motion_repr_rec_list"].shape == (3, 15, 294)
+    for k in ("motion_repr_noisy_list", "rec_ric_data_noisy_list",
+              "rec_ric_data_rec_list_from_abs_traj", "motion_repr_clean_list"):
+        assert np.isfinite(saved[k]).all(), k
+
+    metrics = evaluate(saved, saved["mask_scheme"])
+    metrics = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in metrics.values())
+
+    if os.environ.get("REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as f:
+            json.dump(metrics, f, indent=1, sort_keys=True)
+        pytest.skip(f"golden regenerated at {GOLDEN}")
+
+    assert os.path.exists(GOLDEN), "golden fixture missing; run with REGEN_GOLDEN=1"
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    assert set(metrics) == set(golden)
+    for k, v in golden.items():
+        # float32 pipeline on a fixed seed: drift beyond 1% of the metric's
+        # magnitude (or 1e-3 absolute for near-zero ratios) means the math
+        # changed, not the arithmetic
+        tol = max(abs(v) * 0.01, 1e-3)
+        assert abs(metrics[k] - v) <= tol, f"{k}: {metrics[k]} vs golden {v}"
+
+
+def test_prox_egobody_cli_runs(tmp_path, monkeypatch):
+    from rohm_tpu.body import synthetic_model
+    from rohm_tpu.cli import test_prox_egobody as cli
+    from rohm_tpu.data import AmassClipDataset, synthetic_amass_arrays, write_synthetic_prox
+
+    clip_len = 17
+    body = synthetic_model(num_verts=64)
+    init_root = str(tmp_path / "init")
+    base_dir = str(tmp_path / "base")
+    write_synthetic_prox(init_root, base_dir, body, recording_name="MPH11_00034_01",
+                         n_frames=40, seed=0)
+    # stats (travel with the "checkpoint"): synthetic AMASS train run
+    clips = synthetic_amass_arrays(body, n_clips=2, clip_len=clip_len, seed=1)
+    logdir = tmp_path / "ckpt"
+    AmassClipDataset(body_model=body, split="train", clip_len=clip_len,
+                     input_noise=False, task="pose", logdir=str(logdir), clips=clips)
+
+    monkeypatch.chdir(tmp_path)  # synthetic body-model fallback
+    pkl_path = cli.main([
+        "--dataset=prox",
+        f"--dataset_root={base_dir}",
+        f"--init_root={init_root}",
+        "--recording_name=MPH11_00034_01",
+        f"--clip_len={clip_len}",
+        "--batch_size=2",
+        "--diffusion_steps_posenet=8",
+        "--diffusion_steps_trajnet=5",
+        "--mid_dim=64",
+        "--latent_dim=32",
+        f"--model_path_posenet={logdir / 'model000000001'}",
+        f"--save_root={tmp_path / 'results'}",
+        "--use_scene_floor_height=False",
+        "--seed=0",
+    ])
+    with open(pkl_path, "rb") as f:
+        saved = pickle.load(f)
+
+    t_out = clip_len - 2
+    n = saved["motion_repr_rec_list"].shape[0]
+    assert n >= 2  # overlapping windows over 40 frames
+    assert saved["rec_ric_data_rec_list_from_smpl"].shape == (n, t_out, 22, 3)
+    assert saved["motion_repr_rec_list"].shape == (n, t_out, 294)
+    assert len(saved["frame_name_list"]) == n
+    assert saved["recording_name"] == "MPH11_00034_01"
+    for k in ("rec_ric_data_noisy_list", "rec_ric_data_rec_list_from_abs_traj",
+              "trans_scene2cano_list", "mask_joint_vis_list"):
+        assert np.isfinite(np.asarray(saved[k], np.float64)).all(), k
