@@ -40,19 +40,21 @@ def main():
     from rohm_tpu.diffusion import make_schedule, p_sample_loop
     from rohm_tpu.models import PoseNet
 
-    # Production inference config: bf16 Pallas fused encoder layers (params
-    # cast once outside the scan, 1152-row GEMMs, f32 accumulate/softmax/LN)
-    # + rbg PRNG for the per-step noise. ~790 steps/s on v5e vs 686 for the
-    # round-1 f32 kernel and 557 for plain flax/XLA.
+    # Throughput-mode inference config: int8 W8A8 Pallas fused encoder layers
+    # (per-column weight scales quantized once outside the scan, per-token
+    # activation scales in-kernel, int32 accumulate; attention/softmax/LN as
+    # in the bf16 kernel) + rbg PRNG for the per-step noise. ~1040 steps/s on
+    # v5e vs ~790 for bf16, 686 for the round-1 f32 kernel, 557 for plain
+    # flax/XLA. Accuracy-mode (bf16) stays available via fused_posenet="bf16".
     model = PoseNet()
     x = jnp.zeros((BATCH, T, 294), jnp.float32)
     cond = jnp.zeros((BATCH, T, 294), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, cond, jnp.zeros((BATCH,), jnp.int32))
     sched = make_schedule("cosine", STEPS)
 
-    from rohm_tpu.ops import embed_cond, posenet_apply_prepared, prepare_posenet_fused
+    from rohm_tpu.ops import embed_cond, posenet_apply_prepared, prepare_posenet_int8
 
-    prep = prepare_posenet_fused(params)
+    prep = prepare_posenet_int8(params)
     cond_emb = embed_cond(prep, cond)
 
     @jax.jit

@@ -31,6 +31,7 @@ from rohm_tpu.reprs import recover_from_repr, split_repr
 from rohm_tpu.reprs.schema import REPR_DIM_DICT, REPR_LIST, TRAJ_FEAT_DIM_FULL
 from rohm_tpu.reprs.stats import load_stats
 from rohm_tpu.utils import ConfigParser
+from rohm_tpu.utils.config import fused_mode
 
 
 def build_parser() -> ConfigParser:
@@ -71,7 +72,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--mid_dim", type=int, default=512)
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
-    p.add_argument("--fused_posenet", type=bool, default=False)
+    p.add_argument("--fused_posenet", type=fused_mode, default=False)
     return p
 
 

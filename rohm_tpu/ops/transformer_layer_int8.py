@@ -1,0 +1,225 @@
+"""int8 fused PoseNet encoder layer — W8A8 dense GEMMs on the v5e int8 MXU.
+
+The bf16 kernel (transformer_layer_bf16.py) is dense-GEMM-bound: the four
+projections (QKV, out, FF1, FF2) cost ~118 us of its ~157 us/layer at the
+production shape, and the v5e MXU's bf16 peak (197 TFLOP/s) caps the whole
+1000-step chain near ~1170 steps/s even at 100% utilization. The int8 MXU
+path doubles the multiply rate (394 TOPS), so the dense floor halves.
+
+Quantization scheme (chosen for robustness through a 1000-step iterative
+sampler):
+  * weights:   symmetric int8, ONE scale PER OUTPUT COLUMN, computed once at
+               prepare time (prepare_layer_int8)
+  * activations: symmetric int8, ONE scale PER ROW (token), computed inside
+               the kernel right before each GEMM (dynamic; robust to
+               per-token outliers)
+  * every GEMM accumulates int32 and dequantizes to f32 as
+               acc * (row_scale x col_scale) before the bias add
+  * attention (scores/probs/PV) stays bf16 with f32 softmax — it is small
+               (~17 us/layer) and the most numerically delicate part
+  * LayerNorm / residuals / gelu stay f32, exactly as in the bf16 kernel
+
+Inference-only, like the bf16 kernel. Parity envelope asserted in
+tests/test_ops.py / tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rohm_tpu.ops.transformer_layer import _default_interpret
+
+LN_EPS = 1e-6
+
+
+def _quant_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32/bf16 [R, C] -> (int8 [R, C], f32 row scales [R, 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    q = jnp.clip(jnp.round(xf * (127.0 / amax)), -127.0, 127.0).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
+def _dot_i8(qx, row_scale, w_q, col_scale):
+    """int8 x int8 -> f32 with (row x col) rescale."""
+    acc = jax.lax.dot_general(
+        qx, w_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * row_scale * col_scale
+
+
+def _layer_kernel_int8(
+    x_ref,                     # [G, S, D] bf16
+    wqkv_ref, sqkv_ref, bqkv_ref,  # [D, 3D] i8, [3D] f32, [3D] f32
+    wo_ref, so_ref, bo_ref,        # [D, D] i8, [D] f32, [D] f32
+    ln1_s_ref, ln1_b_ref,          # [D] f32
+    w1_ref, s1_ref, b1_ref,        # [D, F] i8, [F] f32, [F] f32
+    w2_ref, s2_ref, b2_ref,        # [F, D] i8, [D] f32, [D] f32
+    ln2_s_ref, ln2_b_ref,          # [D] f32
+    out_ref,                   # [G, S, D] bf16
+    *, num_heads: int,
+):
+    g, s, d = x_ref.shape
+    dh = d // num_heads
+    rows = g * s
+
+    x = x_ref[:].reshape(rows, d)
+    qx, rs = _quant_rows(x)
+    qkv = (_dot_i8(qx, rs, wqkv_ref[:], sqkv_ref[:]) + bqkv_ref[:]).astype(jnp.bfloat16)
+    q = qkv[:, :d]
+    k = qkv[:, d : 2 * d]
+    v = qkv[:, 2 * d :]
+
+    # attention per (sequence, head), bf16 GEMMs + f32 softmax — identical to
+    # the bf16 kernel (1/sqrt(dh) folded into the QKV scales at prepare time)
+    seq_outs = []
+    for gi in range(g):
+        r = slice(gi * s, (gi + 1) * s)
+        head_outs = []
+        for h in range(num_heads):
+            c = slice(h * dh, (h + 1) * dh)
+            scores = jax.lax.dot_general(
+                q[r, c], k[r, c],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            head_outs.append(
+                jnp.dot(probs, v[r, c], preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16)
+            )
+        seq_outs.append(jnp.concatenate(head_outs, axis=-1))
+    attn = jnp.concatenate(seq_outs, axis=0)  # [rows, D] bf16
+    qa, ra = _quant_rows(attn)
+    attn = _dot_i8(qa, ra, wo_ref[:], so_ref[:]) + bo_ref[:]
+
+    # post-LN residual 1 (f32)
+    y = x.astype(jnp.float32) + attn
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+    y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln1_s_ref[:] + ln1_b_ref[:]
+
+    # feed-forward (int8 GEMMs, tanh-gelu in f32)
+    qy, ry = _quant_rows(y)
+    h1 = _dot_i8(qy, ry, w1_ref[:], s1_ref[:]) + b1_ref[:]
+    h1 = 0.5 * h1 * (1.0 + jnp.tanh(0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)))
+    qh, rh = _quant_rows(h1)
+    h2 = _dot_i8(qh, rh, w2_ref[:], s2_ref[:]) + b2_ref[:]
+
+    # post-LN residual 2 (f32), emit bf16 for the next layer
+    z = y + h2
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
+    out = (z - mu) * jax.lax.rsqrt(var + LN_EPS) * ln2_s_ref[:] + ln2_b_ref[:]
+    out_ref[:] = out.astype(jnp.bfloat16).reshape(g, s, d)
+
+
+def _quant_cols(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 [K, N] -> (int8 [K, N], f32 col scales [N])."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12)
+    q = jnp.clip(jnp.round(w * (127.0 / amax)), -127.0, 127.0).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
+def prepare_layer_int8(layer: dict) -> tuple:
+    """Quantize one flax encoder-layer scope for the int8 kernel (call once,
+    outside the sampling scan)."""
+    d = layer["LayerNorm_0"]["scale"].shape[-1]
+    attn = layer["MultiHeadDotProductAttention_0"]
+    num_heads = attn["query"]["kernel"].shape[-2] if attn["query"]["kernel"].ndim == 3 else 4
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)  # folded into W_q/b_q
+    wqkv = jnp.concatenate(
+        [
+            attn["query"]["kernel"].reshape(d, d) * scale,
+            attn["key"]["kernel"].reshape(d, d),
+            attn["value"]["kernel"].reshape(d, d),
+        ],
+        axis=-1,
+    )
+    bqkv = jnp.concatenate(
+        [
+            attn["query"]["bias"].reshape(d) * scale,
+            attn["key"]["bias"].reshape(d),
+            attn["value"]["bias"].reshape(d),
+        ]
+    ).astype(jnp.float32)
+    f32 = lambda a: a.astype(jnp.float32)
+    wqkv_q, sqkv = _quant_cols(wqkv)
+    wo_q, so = _quant_cols(attn["out"]["kernel"].reshape(d, d))
+    w1_q, s1 = _quant_cols(layer["Dense_0"]["kernel"])
+    w2_q, s2 = _quant_cols(layer["Dense_1"]["kernel"])
+    return (
+        wqkv_q, sqkv, bqkv,
+        wo_q, so, f32(attn["out"]["bias"]),
+        f32(layer["LayerNorm_0"]["scale"]), f32(layer["LayerNorm_0"]["bias"]),
+        w1_q, s1, f32(layer["Dense_0"]["bias"]),
+        w2_q, s2, f32(layer["Dense_1"]["bias"]),
+        f32(layer["LayerNorm_1"]["scale"]), f32(layer["LayerNorm_1"]["bias"]),
+    )
+
+
+def fused_encoder_layer_int8(
+    x: jnp.ndarray, prepared: tuple, num_heads: int = 4,
+    interpret: bool | None = None, group: int | None = None,
+) -> jnp.ndarray:
+    """One fused int8 encoder layer. x [B, S, D] bf16 -> [B, S, D] bf16."""
+    if interpret is None:
+        interpret = _default_interpret()
+    b, s, d = x.shape
+    if group is None:
+        group = next(gr for gr in (8, 4, 2, 1) if b % gr == 0)
+    f = prepared[8].shape[-1]
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((group, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    in_specs += [full(a.shape) for a in prepared]
+
+    flops = 2 * s * d * (4 * d + 2 * f) + 4 * s * s * d
+    return pl.pallas_call(
+        partial(_layer_kernel_int8, num_heads=num_heads),
+        grid=(b // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (group, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops,
+            bytes_accessed=2 * b * s * d * 2 + 4 * d * d + 2 * d * f,
+            transcendentals=b * s * (f + s * num_heads),
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), *prepared)
+
+
+def prepare_posenet_int8(params: dict, num_layers: int = 8, max_len: int = 5000):
+    """One-time quantization of a PoseNet param tree for the int8 path.
+    Embedding/head/timestep params stay f32 (tiny GEMMs)."""
+    from rohm_tpu.models.blocks import transformer_pe_table
+
+    p = params["params"]
+    d = p["input_process"]["kernel"].shape[-1]
+    return {
+        "layers": tuple(prepare_layer_int8(p[f"layer_{i}"]) for i in range(num_layers)),
+        "pe": jnp.asarray(transformer_pe_table(max_len, d)),
+        "t_w0": p["Dense_0"]["kernel"], "t_b0": p["Dense_0"]["bias"],
+        "t_w1": p["Dense_1"]["kernel"], "t_b1": p["Dense_1"]["bias"],
+        "in_w": p["input_process"]["kernel"], "in_b": p["input_process"]["bias"],
+        "inc_w": p["input_process_cond"]["kernel"], "inc_b": p["input_process_cond"]["bias"],
+        "out_w": p["output_process"]["kernel"], "out_b": p["output_process"]["bias"],
+    }

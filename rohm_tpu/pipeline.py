@@ -146,21 +146,25 @@ class RohmPipeline:
     guidance_override: tuple = field(default=None)
     mesh: Any = None  # optional jax.sharding.Mesh: shard the batch on 'data'
     # Pallas fused encoder layers for PoseNet: False = flax, True/"bf16" =
-    # bf16 kernel (fastest; params cast once), "f32" = round-1 f32 kernel
+    # bf16 kernel (accuracy mode; ~0.4% mean repr deviation vs flax),
+    # "int8" = W8A8 kernel (throughput mode; ~2% mean deviation, ~1.3x
+    # faster chain), "f32" = round-1 f32 kernel
     fused_posenet: Any = False
     _jitted: Any = field(default=None, init=False, repr=False)
     _prepared_posenet: Any = field(default=None, init=False, repr=False)
 
     def _ensure_prepared(self):
-        """One-time bf16 cast/fuse of PoseNet params (outside the scan)."""
+        """One-time cast/quantize of PoseNet params (outside the scan)."""
         if self._prepared_posenet is None:
-            from rohm_tpu.ops import prepare_posenet_fused
+            from rohm_tpu.ops import prepare_posenet_fused, prepare_posenet_int8
 
+            prepare = (
+                prepare_posenet_int8 if self.fused_posenet == "int8"
+                else prepare_posenet_fused
+            )
             object.__setattr__(
                 self, "_prepared_posenet",
-                prepare_posenet_fused(
-                    self.posenet_params, num_layers=self.posenet.num_layers
-                ),
+                prepare(self.posenet_params, num_layers=self.posenet.num_layers),
             )
         return self._prepared_posenet
 
@@ -177,7 +181,7 @@ class RohmPipeline:
             "mean": self.mean,
             "std": self.std,
         }
-        if self.fused_posenet in (True, "bf16"):
+        if self.fused_posenet in (True, "bf16", "int8"):
             w["prep"] = self._ensure_prepared()
         return w
 
@@ -271,7 +275,7 @@ class RohmPipeline:
             if iter_idx < mask_iter_num:
                 cond = cond * pose_mask
 
-            if self.fused_posenet in (True, "bf16"):
+            if self.fused_posenet in (True, "bf16", "int8"):
                 from rohm_tpu.ops import embed_cond, posenet_apply_prepared
 
                 prep = weights["prep"]

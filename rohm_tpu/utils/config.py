@@ -23,6 +23,17 @@ def str2bool(x) -> bool:
     return str(x).lower() in ["true", "1"]
 
 
+def fused_mode(x):
+    """--fused_posenet parser: bool-style values select the default fused
+    kernel (bf16) or flax; the strings 'bf16'/'int8'/'f32' pick a kernel."""
+    if isinstance(x, bool):
+        return x
+    s = str(x).lower()
+    if s in ("bf16", "int8", "f32"):
+        return s
+    return str2bool(s)
+
+
 class ConfigParser:
     """argparse + YAML defaults. Precedence: CLI flag > YAML value > default."""
 

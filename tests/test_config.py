@@ -35,3 +35,15 @@ def test_reference_bool_convention():
     assert args.flag is True
     args = _parser().parse_args(["--flag=false"])
     assert args.flag is False
+
+
+def test_fused_mode_parser():
+    """--fused_posenet accepts bools (reference-style) and kernel names."""
+    from rohm_tpu.utils.config import fused_mode
+
+    assert fused_mode("True") is True
+    assert fused_mode("false") is False
+    assert fused_mode("int8") == "int8"
+    assert fused_mode("bf16") == "bf16"
+    assert fused_mode("f32") == "f32"
+    assert fused_mode(True) is True

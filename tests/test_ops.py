@@ -108,3 +108,60 @@ class TestBf16Fused:
             )
         )
         np.testing.assert_array_equal(out, out2)
+
+
+class TestInt8Fused:
+    """int8 W8A8 throughput kernel (transformer_layer_int8): parity with the
+    flax path within the int8 quantization envelope (~5x the bf16 one;
+    measured on TPU at production scale: 0.11 max / 0.017 mean vs flax)."""
+
+    def test_layer_matches_flax_int8_envelope(self, posenet_setup):
+        from rohm_tpu.ops import fused_encoder_layer_int8
+        from rohm_tpu.ops.transformer_layer_int8 import prepare_layer_int8
+
+        _, params, *_ = posenet_setup
+        layer_params = params["params"]["layer_0"]
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, 16, D))
+
+        flax_layer = TransformerEncoderLayer(D, HEADS, FF, dropout=0.0)
+        ref = np.asarray(flax_layer.apply({"params": layer_params}, x, train=False))
+        prepared = prepare_layer_int8(layer_params)
+        out = np.asarray(
+            fused_encoder_layer_int8(
+                x.astype(jnp.bfloat16), prepared, num_heads=HEADS, interpret=True
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out, ref, atol=0.3)
+        assert np.abs(out - ref).mean() < 5e-2
+
+    def test_posenet_prepared_dispatches_int8(self, posenet_setup):
+        """posenet_apply_prepared picks the int8 kernel from the prepared
+        tree's structure (16-tuple layers) — no mode flag in the pytree."""
+        from rohm_tpu.ops import posenet_apply_prepared, prepare_posenet_int8
+
+        model, params, x, cond, t = posenet_setup
+        ref = np.asarray(model.apply(params, x, cond, t))
+        prep = prepare_posenet_int8(params, num_layers=LAYERS)
+        assert len(prep["layers"][0]) == 16
+        out = np.asarray(
+            posenet_apply_prepared(prep, x, cond, t, num_heads=HEADS, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=0.3)
+        assert np.abs(out - ref).mean() < 5e-2
+        # traj passthrough dims must be exact (copied from cond, not computed)
+        np.testing.assert_array_equal(out[..., :22], np.asarray(cond)[..., :22])
+
+    def test_int8_prep_is_jit_argument_safe(self, posenet_setup):
+        """The prepared tree must pass through jit as a pytree ARGUMENT
+        (pipeline weights contract) — no string leaves, stable structure."""
+        from rohm_tpu.ops import posenet_apply_prepared, prepare_posenet_int8
+
+        model, params, x, cond, t = posenet_setup
+        prep = prepare_posenet_int8(params, num_layers=LAYERS)
+
+        @jax.jit
+        def run(prep, x, cond, t):
+            return posenet_apply_prepared(prep, x, cond, t, num_heads=HEADS, interpret=True)
+
+        out = run(prep, x, cond, t)
+        assert np.isfinite(np.asarray(out)).all()
