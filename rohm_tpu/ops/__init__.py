@@ -33,6 +33,7 @@ from rohm_tpu.ops.transformer_layer_bf16 import (
 )
 from rohm_tpu.ops.transformer_layer_int8 import (
     fused_encoder_layer_int8,
+    fused_encoder_stack_int8,
     prepare_posenet_int8,
 )
 
@@ -41,6 +42,7 @@ __all__ = [
     "posenet_apply_fused",
     "fused_encoder_layer_bf16",
     "fused_encoder_layer_int8",
+    "fused_encoder_stack_int8",
     "prepare_posenet_fused",
     "prepare_posenet_int8",
     "posenet_apply_prepared",

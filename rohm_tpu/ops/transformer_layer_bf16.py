@@ -237,16 +237,25 @@ def posenet_apply_prepared(
     seq = jnp.concatenate([emb[:, None, :], h], axis=1)
     seq = (seq + pe[None, : seq_len + 1, :]).astype(jnp.bfloat16)
 
-    # kernel selection is structural (pytree-safe under jit): int8-prepared
-    # layers carry 16 arrays (weights + col scales), bf16 layers 12
-    if len(prep["layers"][0]) == 16:
-        from rohm_tpu.ops.transformer_layer_int8 import fused_encoder_layer_int8
+    # kernel selection is structural (pytree-safe under jit): the int8-mega
+    # prep carries "layers_stacked" (16 arrays with a leading [L] dim, whole
+    # stack in one Pallas program); per-layer int8 preps carry 16-tuples
+    # under "layers"; bf16 preps carry 12-tuples
+    if "layers_stacked" in prep:
+        from rohm_tpu.ops.transformer_layer_int8 import fused_encoder_stack_int8
 
-        layer_fn = fused_encoder_layer_int8
+        seq = fused_encoder_stack_int8(
+            seq, prep["layers_stacked"], num_heads, interpret=interpret
+        )
     else:
-        layer_fn = fused_encoder_layer_bf16
-    for layer in prep["layers"]:
-        seq = layer_fn(seq, layer, num_heads, interpret=interpret)
+        if len(prep["layers"][0]) == 16:
+            from rohm_tpu.ops.transformer_layer_int8 import fused_encoder_layer_int8
+
+            layer_fn = fused_encoder_layer_int8
+        else:
+            layer_fn = fused_encoder_layer_bf16
+        for layer in prep["layers"]:
+            seq = layer_fn(seq, layer, num_heads, interpret=interpret)
 
     out = seq[:, 1:].astype(jnp.float32) @ prep["out_w"] + prep["out_b"]
     return jnp.concatenate([cond[..., :traj_feat_dim], out], axis=-1)

@@ -141,7 +141,7 @@ class TestInt8Fused:
 
         model, params, x, cond, t = posenet_setup
         ref = np.asarray(model.apply(params, x, cond, t))
-        prep = prepare_posenet_int8(params, num_layers=LAYERS)
+        prep = prepare_posenet_int8(params, num_layers=LAYERS, mega=False)
         assert len(prep["layers"][0]) == 16
         out = np.asarray(
             posenet_apply_prepared(prep, x, cond, t, num_heads=HEADS, interpret=True)
@@ -150,6 +150,23 @@ class TestInt8Fused:
         assert np.abs(out - ref).mean() < 5e-2
         # traj passthrough dims must be exact (copied from cond, not computed)
         np.testing.assert_array_equal(out[..., :22], np.asarray(cond)[..., :22])
+
+    def test_mega_stack_matches_per_layer(self, posenet_setup):
+        """The whole-stack program (layers_stacked) computes the same math as
+        chaining per-layer int8 kernels."""
+        from rohm_tpu.ops import posenet_apply_prepared, prepare_posenet_int8
+
+        model, params, x, cond, t = posenet_setup
+        prep_mega = prepare_posenet_int8(params, num_layers=LAYERS, mega=True)
+        prep_per = prepare_posenet_int8(params, num_layers=LAYERS, mega=False)
+        assert "layers_stacked" in prep_mega and len(prep_mega["layers_stacked"]) == 16
+        out_mega = np.asarray(
+            posenet_apply_prepared(prep_mega, x, cond, t, num_heads=HEADS, interpret=True)
+        )
+        out_per = np.asarray(
+            posenet_apply_prepared(prep_per, x, cond, t, num_heads=HEADS, interpret=True)
+        )
+        np.testing.assert_allclose(out_mega, out_per, atol=2e-5)
 
     def test_int8_prep_is_jit_argument_safe(self, posenet_setup):
         """The prepared tree must pass through jit as a pytree ARGUMENT

@@ -201,6 +201,14 @@ def test_pipeline_bf16_fused_matches_flax(body, datasets):
     assert dev.max() < 0.25, f"bf16 pipeline deviates too much: {dev.max()}"
     assert dev.mean() < 0.02
 
+    # int8 throughput mode: same pipeline, W8A8 Pallas kernels; wider envelope
+    # (per-token activation quantization), but must stay metric-compatible
+    pose_i8, traj_i8 = make("int8").run_batch(*args)
+    np.testing.assert_array_equal(np.asarray(traj_i8), np.asarray(traj_flax))
+    dev = np.abs(np.asarray(pose_i8) - np.asarray(pose_flax))
+    assert dev.max() < 0.5, f"int8 pipeline deviates too much: {dev.max()}"
+    assert dev.mean() < 0.05
+
 
 def test_pipeline_on_8_device_mesh(body, datasets):
     """The FULL guided iterative pipeline jitted over an 8-device data mesh
