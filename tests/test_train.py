@@ -100,6 +100,53 @@ def test_trajnet_train_step_sharded(body, dataset):
     assert np.isfinite(float(losses["loss"]))
 
 
+def test_trajnet_training_converges(body, dataset):
+    """A few hundred steps on a fixed tiny batch must overfit: the denoising
+    loss has to fall by a large factor from its initial level. Catches
+    wrong-sign losses, dead gradients, bad normalization — nothing else in
+    the suite exercises multi-step optimization."""
+    model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    sched = make_schedule("cosine", 20)
+    batch = next(dataset.batches(4, shuffle=False))
+    batch.pop("control_cond")
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((4, T, 13)), jnp.zeros((4, T, 13)), jnp.zeros(4, jnp.int32))
+    state = create_train_state(params, lr=3e-3)
+    step = make_trajnet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, TRAJ_WEIGHTS, repr_abs_only=True, traj_feat_dim=13,
+    )
+    history = []
+    for i in range(300):
+        state, losses = step(state, batch, jax.random.fold_in(key, i))
+        history.append(float(losses["loss"]))
+    early = float(np.mean(history[:10]))
+    late = float(np.mean(history[-10:]))
+    assert np.isfinite(late), history[-5:]
+    assert late < early / 5, f"loss did not converge: {early:.4f} -> {late:.4f}"
+
+
+def test_posenet_training_converges(body, dataset):
+    model = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    sched = make_schedule("cosine", 20)
+    raw = next(dataset.batches(4, shuffle=False))
+    batch = {"motion_repr_clean": raw["motion_repr_clean"], "cond": raw["motion_repr_noisy"]}
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((4, T, 294)), jnp.zeros((4, T, 294)), jnp.zeros(4, jnp.int32))
+    state = create_train_state(params, lr=3e-3)
+    step = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std), body, POSE_WEIGHTS
+    )
+    history = []
+    for i in range(250):
+        state, losses = step(state, batch, jax.random.fold_in(key, i), jnp.asarray(1.0))
+        history.append(float(losses["loss"]))
+    early = float(np.mean(history[:10]))
+    late = float(np.mean(history[-10:]))
+    assert np.isfinite(late), history[-5:]
+    assert late < early / 3, f"loss did not converge: {early:.4f} -> {late:.4f}"
+
+
 def test_trajnet_sampler_shapes(body, dataset):
     model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
     sched = make_schedule("cosine", 10)
