@@ -187,19 +187,24 @@ def main(argv=None):
     common_kw = dict(
         body_model=body, preprocessed_amass_root=args.dataset_root,
         amass_datasets=AMASS_TEST_DATASETS, clip_len=args.clip_len, seed=args.seed,
+        disk_cache_dir=os.path.join(args.dataset_root, "_repr_cache"),
     )
     t0 = time.perf_counter()
     # twin views of the same data (reference test_amass_full.py:93-127)
     if stats_dir is None:
-        # no trained stats available: compute them from this data (synthetic runs)
-        ds_stats = AmassClipDataset(split="train", task="pose", logdir=None, **common_kw, **noise_kw)
-        mean, std = ds_stats.mean, ds_stats.std
-        import tempfile
+        # no trained stats available: compute them from this data (synthetic
+        # runs). Stats depend only on the clean repr of this tree, so build
+        # the stats view noise-free (skips a redundant FK + encode) and cache
+        # the result beside the tree for later runs.
+        stats_dir = os.path.join(args.dataset_root, "_stats_cache")
+        if not os.path.exists(os.path.join(stats_dir, "AMASS_mean.pkl")):
+            ds_stats = AmassClipDataset(
+                split="train", task="pose", logdir=None, input_noise=False, **common_kw
+            )
+            os.makedirs(stats_dir, exist_ok=True)
+            from rohm_tpu.reprs.stats import save_stats
 
-        stats_dir = tempfile.mkdtemp(prefix="rohm_stats_")
-        from rohm_tpu.reprs.stats import save_stats
-
-        save_stats(stats_dir, mean, std)
+            save_stats(stats_dir, ds_stats.mean, ds_stats.std)
     test_pose_dataset = AmassClipDataset(
         split="test", task="pose", repr_abs_only=False, logdir=stats_dir, **common_kw, **noise_kw
     )

@@ -108,6 +108,7 @@ class AmassClipDataset:
         seed: int = 0,
         fk_chunk: int = 64,
         clips: tuple[np.ndarray, np.ndarray] | None = None,
+        disk_cache_dir: str | None = None,
     ):
         assert task in ("traj", "pose"), f"bad task {task}"
         self.split = split
@@ -129,6 +130,23 @@ class AmassClipDataset:
             "betas": noise_std_smplx_betas,
         }
         self.noise_std_joint = noise_std_joint
+
+        # --- optional on-disk cache of all derived arrays. Device FK/encode
+        # over a tunneled TPU costs seconds-to-minutes per run (high variance);
+        # the derived state is deterministic given the tree + noise config +
+        # seed, so eval drivers can reuse it across processes.
+        self._cache_path = None
+        if disk_cache_dir is not None and clips is None and not sep_noise:
+            key = self._disk_cache_key(
+                preprocessed_amass_root, amass_datasets or [], split, spacing,
+                clip_len, joints_num, seed, input_noise, load_noise,
+                self.noise_std_params, noise_std_joint, loaded_smplx_noise_dict,
+            )
+            self._cache_path = os.path.join(disk_cache_dir, f"amass_{key}.npz")
+            if os.path.exists(self._cache_path):
+                self._load_disk_cache(self._cache_path)
+                self._finish_stats()
+                return
 
         if clips is not None:
             joints_clips, params_clips = clips
@@ -194,14 +212,82 @@ class AmassClipDataset:
         else:
             self.repr_noisy = None
 
-        # --- normalization stats (train: compute+save; test: load)
-        if split == "train":
+        if self._cache_path is not None:
+            self._save_disk_cache(self._cache_path)
+        self._finish_stats()
+
+    def _finish_stats(self):
+        """Normalization stats (train: compute+save; test: load)."""
+        if self.split == "train":
             self.mean, self.std = compute_stats(self.repr_clean)
-            if logdir is not None:
-                save_stats(logdir, self.mean, self.std)
+            if self.logdir is not None:
+                save_stats(self.logdir, self.mean, self.std)
         else:
-            assert logdir is not None, "test split needs logdir with saved stats"
-            self.mean, self.std = load_stats(logdir)
+            assert self.logdir is not None, "test split needs logdir with saved stats"
+            self.mean, self.std = load_stats(self.logdir)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _disk_cache_key(root, datasets, split, spacing, clip_len, joints_num,
+                        seed, input_noise, load_noise, noise_std_params,
+                        noise_std_joint, loaded_noise):
+        """Fingerprint of everything the derived arrays depend on: config plus
+        the file listing (path/size/mtime) of the preprocessed tree."""
+        import hashlib
+        import json
+
+        h = hashlib.sha1()
+        cfg = dict(split=split, spacing=spacing, clip_len=clip_len,
+                   joints_num=joints_num, seed=seed, input_noise=input_noise,
+                   load_noise=load_noise, noise_std_joint=noise_std_joint,
+                   stds={k: noise_std_params[k] for k in sorted(noise_std_params)})
+        h.update(json.dumps(cfg, sort_keys=True).encode())
+        for ds in sorted(datasets):
+            base = os.path.join(root, "pose_data_fps_30", ds)
+            for dirpath, dirnames, filenames in sorted(os.walk(base)):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    h.update(
+                        f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}".encode()
+                    )
+        if load_noise and loaded_noise is not None:
+            for k in sorted(loaded_noise):
+                h.update(np.ascontiguousarray(loaded_noise[k]).tobytes())
+        return h.hexdigest()[:16]
+
+    def _save_disk_cache(self, path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {"joints_clean": self.joints_clean, "repr_clean": self.repr_clean}
+        for k in PARAM_NAMES:
+            payload[f"cano_{k}"] = self.cano_params[k]
+        if self.repr_noisy is not None:
+            payload["repr_noisy"] = self.repr_noisy
+            payload["joints_noisy"] = self.joints_noisy
+            for k in PARAM_NAMES:
+                payload[f"noisy_{k}"] = self.noisy_params[k]
+                payload[f"noise_{k}"] = self.smplx_noise_dict[k]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+
+    def _load_disk_cache(self, path):
+        z = np.load(path)
+        self.joints_clean = z["joints_clean"]
+        self.repr_clean = z["repr_clean"]
+        self.n_samples = len(self.repr_clean)
+        self.cano_params = {k: z[f"cano_{k}"] for k in PARAM_NAMES}
+        if "repr_noisy" in z:
+            self.repr_noisy = z["repr_noisy"]
+            self.joints_noisy = z["joints_noisy"]
+            self.noisy_params = {k: z[f"noisy_{k}"] for k in PARAM_NAMES}
+            self.smplx_noise_dict = {k: z[f"noise_{k}"] for k in PARAM_NAMES}
+        else:
+            self.repr_noisy = None
+            self.joints_noisy = None
+            self.noisy_params = None
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -13,18 +13,37 @@ import jax.numpy as jnp
 
 from rohm_tpu.body import SmplxModel, forward_joints
 
+# forward_joints unrolls the kinematic chain into hundreds of elementwise ops;
+# called eagerly per sequence over a remote-TPU tunnel that is minutes of
+# dispatch latency for a 135-sequence tree. One jitted program per body model
+# (keyed by identity; shapes just add jit cache entries) makes it one dispatch.
+_FK_JIT_CACHE: dict = {}
 
-def synthetic_motion(
-    model: SmplxModel,
-    num_frames: int = 145,
-    seed: int = 0,
-    walk_speed: float = 0.02,
-) -> tuple[np.ndarray, dict]:
-    """Generate one smooth motion clip.
 
-    Returns (positions [T, 22, 3] z-up world joints, smplx_params dict with
-    global_orient [T,3] / transl [T,3] / body_pose [T,63] / betas [T,10]).
-    """
+def _jitted_fk(model: SmplxModel):
+    fn = _FK_JIT_CACHE.get(id(model))
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda b, g, bp, t: forward_joints(model, b, g, bp, t))
+        _FK_JIT_CACHE[id(model)] = fn
+    return fn
+
+
+def _fk_positions(model: SmplxModel, params: dict) -> np.ndarray:
+    """One jitted FK call over params with a flat leading dim [N, ...]."""
+    return np.asarray(
+        _jitted_fk(model)(
+            jnp.asarray(params["betas"], jnp.float32),
+            jnp.asarray(params["global_orient"], jnp.float32),
+            jnp.asarray(params["body_pose"], jnp.float32),
+            jnp.asarray(params["transl"], jnp.float32),
+        )
+    ).astype(np.float64)
+
+
+def _synthetic_params(num_frames: int, seed: int, walk_speed: float = 0.02) -> dict:
+    """Host-only smooth-motion smplx params for one clip (no device work)."""
     rng = np.random.default_rng(seed)
     t = np.arange(num_frames)[:, None]
 
@@ -49,33 +68,40 @@ def synthetic_motion(
 
     betas = np.tile(rng.normal(scale=0.5, size=(1, 10)), (num_frames, 1))
 
-    params = {
+    return {
         "global_orient": global_orient,
         "transl": transl,
         "body_pose": body_pose,
         "betas": betas,
     }
-    positions = np.asarray(
-        forward_joints(
-            model,
-            jnp.asarray(betas, jnp.float32),
-            jnp.asarray(global_orient, jnp.float32),
-            jnp.asarray(body_pose, jnp.float32),
-            jnp.asarray(transl, jnp.float32),
-        )
-    ).astype(np.float64)
-    return positions, params
+
+
+def synthetic_motion(
+    model: SmplxModel,
+    num_frames: int = 145,
+    seed: int = 0,
+    walk_speed: float = 0.02,
+) -> tuple[np.ndarray, dict]:
+    """Generate one smooth motion clip.
+
+    Returns (positions [T, 22, 3] z-up world joints, smplx_params dict with
+    global_orient [T,3] / transl [T,3] / body_pose [T,63] / betas [T,10]).
+    """
+    params = _synthetic_params(num_frames, seed, walk_speed)
+    return _fk_positions(model, params), params
 
 
 def synthetic_clip_batch(
     model: SmplxModel, batch_size: int = 4, num_frames: int = 145, seed: int = 0
 ) -> tuple[np.ndarray, dict]:
-    """Batch of clips: (positions [B, T, 22, 3], params dict of [B, T, ...])."""
-    outs = [synthetic_motion(model, num_frames, seed + i) for i in range(batch_size)]
-    positions = np.stack([o[0] for o in outs])
-    params = {
-        k: np.stack([o[1][k] for o in outs]) for k in outs[0][1].keys()
-    }
+    """Batch of clips: (positions [B, T, 22, 3], params dict of [B, T, ...]).
+
+    All clips go through ONE jitted FK dispatch ([B*T] flat) — per-clip eager
+    FK was minutes of dispatch latency over a remote-TPU tunnel."""
+    plist = [_synthetic_params(num_frames, seed + i) for i in range(batch_size)]
+    params = {k: np.stack([p[k] for p in plist]) for k in plist[0]}
+    flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in params.items()}
+    positions = _fk_positions(model, flat).reshape(batch_size, num_frames, 22, 3)
     return positions, params
 
 
@@ -277,10 +303,13 @@ def write_synthetic_amass(
     import os
 
     datasets = datasets or {"SynthA": 3, "SynthB": 2}
+    total = sum(datasets.values())
+    all_pos, all_params = synthetic_clip_batch(model, total, seq_len, seed)
     i = 0
     for dataset_name, n_seqs in datasets.items():
         for s in range(n_seqs):
-            positions, params = synthetic_motion(model, seq_len, seed + i)
+            positions = all_pos[i]
+            params = {k: v[i] for k, v in all_params.items()}
             i += 1
             joints25 = np.zeros((seq_len, 25, 3))
             joints25[:, :22] = positions

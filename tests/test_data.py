@@ -165,3 +165,43 @@ def test_task_view_shares_arrays(body, clips, tmp_path):
     assert "control_cond" in item
     # pose view unchanged
     assert "cond" not in ds[0]
+
+
+def test_disk_cache_roundtrip(body, tmp_path):
+    """disk_cache_dir: a second construction loads identical derived arrays
+    from disk (no device FK/encode), and invalidates when the tree changes."""
+    root = tmp_path / "tree"
+    write_synthetic_amass(str(root), body, datasets={"SynthA": 2}, seq_len=70, seed=0)
+    cache = str(tmp_path / "cache")
+    kw = dict(
+        body_model=body, preprocessed_amass_root=str(root),
+        amass_datasets=["SynthA"], split="train", clip_len=CLIP_LEN,
+        input_noise=True, noise_std_smplx_global_rot=3.0,
+        noise_std_smplx_body_rot=3.0, noise_std_smplx_trans=0.03,
+        noise_std_smplx_betas=0.1, task="pose",
+        logdir=str(tmp_path / "run"), disk_cache_dir=cache,
+    )
+    ds1 = AmassClipDataset(**kw)
+    import os
+
+    files = os.listdir(cache)
+    assert len(files) == 1
+
+    ds2 = AmassClipDataset(**kw)
+    np.testing.assert_array_equal(ds1.repr_clean, ds2.repr_clean)
+    np.testing.assert_array_equal(ds1.repr_noisy, ds2.repr_noisy)
+    np.testing.assert_array_equal(ds1.joints_noisy, ds2.joints_noisy)
+    np.testing.assert_array_equal(ds1.mean, ds2.mean)
+    for a, b in zip(ds1.batches(2, shuffle=False), ds2.batches(2, shuffle=False)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # different noise config -> different cache entry, different arrays
+    ds3 = AmassClipDataset(**{**kw, "noise_std_smplx_trans": 0.3})
+    assert len(os.listdir(cache)) == 2
+    assert not np.array_equal(ds1.repr_noisy, ds3.repr_noisy)
+
+    # touching the tree invalidates (mtime/size in the fingerprint)
+    write_synthetic_amass(str(root), body, datasets={"SynthA": 2}, seq_len=70, seed=1)
+    AmassClipDataset(**kw)
+    assert len(os.listdir(cache)) == 3
