@@ -51,6 +51,7 @@ def build_parser() -> ConfigParser:
         p.add_argument(f"--{w}", type=float, default=d)
     p.add_argument("--start_skating_loss_epoch", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--model_dtype", type=str, default="float32")  # float32 | bfloat16
     p.add_argument("--debug", type=bool, default=False)
     p.add_argument("--start_prox_mask_epoch", type=int, default=500)
     p.add_argument("--mask_scheme", type=str, default="lower")

@@ -62,6 +62,7 @@ def build_parser() -> ConfigParser:
     ]:
         p.add_argument(f"--{w}", type=float, default=d)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--model_dtype", type=str, default="float32")  # float32 | bfloat16
     p.add_argument("--debug", type=bool, default=False)
     p.add_argument("--max_infill_ratio", type=float, default=0.1)
     p.add_argument("--mask_prob", type=float, default=0.4)

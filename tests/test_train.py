@@ -100,6 +100,26 @@ def test_trajnet_train_step_sharded(body, dataset):
     assert np.isfinite(float(losses["loss"]))
 
 
+def test_posenet_train_step_bf16(body, dataset):
+    """bf16 compute dtype (the --model_dtype=bfloat16 train flag, +29% on
+    v5e): params and loss stay f32, step runs and updates."""
+    model = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2, dtype=jnp.bfloat16)
+    sched = make_schedule("cosine", 20)
+    raw = next(dataset.batches(2, shuffle=False))
+    batch = {"motion_repr_clean": raw["motion_repr_clean"], "cond": raw["motion_repr_noisy"]}
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2, T, 294)), jnp.zeros((2, T, 294)), jnp.zeros(2, jnp.int32))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+    state = create_train_state(params, lr=1e-3)
+    step = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std), body, POSE_WEIGHTS
+    )
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, losses = step(state, batch, key, jnp.asarray(1.0))
+    assert np.isfinite(float(losses["loss"]))
+    assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+
 def test_trajnet_training_converges(body, dataset):
     """A few hundred steps on a fixed tiny batch must overfit: the denoising
     loss has to fall by a large factor from its initial level. Catches
