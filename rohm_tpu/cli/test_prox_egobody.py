@@ -86,6 +86,9 @@ def main(argv=None):
         base_dir=args.dataset_root, recording_name=args.recording_name,
         use_scene_floor_height=args.use_scene_floor_height,
         overlap_len=args.window_size, clip_len=args.clip_len, logdir=stats_dir,
+        disk_cache_dir=(
+            os.path.join(args.dataset_root, "_repr_cache") if args.dataset_root else None
+        ),
     )
     test_pose_dataset = VideoClipDataset(task="pose", repr_abs_only=False, **common)
     test_traj_dataset = test_pose_dataset.view("traj", repr_abs_only=args.repr_abs_only)

@@ -131,6 +131,7 @@ class VideoClipDataset:
         logdir: str | None = None,
         gendered_models: dict | None = None,
         fk_chunk: int = 512,
+        disk_cache_dir: str | None = None,
     ):
         assert dataset in ("prox", "egobody"), f"bad dataset {dataset}"
         assert task in ("traj", "pose")
@@ -148,14 +149,58 @@ class VideoClipDataset:
         self.gendered_models = gendered_models or {}
         self._fk_chunk = fk_chunk
 
-        if dataset == "prox":
-            self._read_prox(init_root, base_dir)
+        # optional on-disk cache of the built recording (FK + canonicalize +
+        # encode over a tunneled TPU costs seconds-to-minutes per recording;
+        # deterministic given the tree + config)
+        cache_path = None
+        if disk_cache_dir is not None:
+            key = self._disk_cache_key(init_root, base_dir)
+            cache_path = os.path.join(disk_cache_dir, f"video_{key}.pkl")
+        if cache_path is not None and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                self.__dict__.update(pickle.load(f))
         else:
-            self._read_egobody(init_root, base_dir)
-        self._create_body_repr()
+            if dataset == "prox":
+                self._read_prox(init_root, base_dir)
+            else:
+                self._read_egobody(init_root, base_dir)
+            self._create_body_repr()
+            if cache_path is not None:
+                os.makedirs(disk_cache_dir, exist_ok=True)
+                state = {
+                    k: v for k, v in self.__dict__.items()
+                    if k not in ("body_model", "gendered_models")
+                }
+                tmp = cache_path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(state, f, protocol=4)
+                os.replace(tmp, cache_path)
 
         assert logdir is not None, "video datasets need the train-stats logdir"
         self.mean, self.std = load_stats(logdir)
+
+    def _disk_cache_key(self, init_root: str, base_dir: str) -> str:
+        """Fingerprint: config + listing (path/size/mtime) of every file under
+        the recording-specific trees (init fits, base_dir metadata/masks/
+        keypoints/calibrations all live under these two roots)."""
+        import hashlib
+        import json
+
+        h = hashlib.sha1()
+        cfg = dict(dataset=self.dataset, recording=self.recording_name,
+                   clip_len=self.clip_len, overlap_len=self.overlap_len,
+                   joints_num=self.joints_num,
+                   scene_floor=self.use_scene_floor_height,
+                   genders=sorted(self.gendered_models))
+        h.update(json.dumps(cfg, sort_keys=True).encode())
+        for root in (init_root, base_dir):
+            for dirpath, dirnames, filenames in sorted(os.walk(root)):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    h.update(f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}".encode())
+        return h.hexdigest()[:16]
 
     # ------------------------------------------------------------------
     def _fk_world(self, params: dict, cam_r: np.ndarray, cam_t: np.ndarray, model=None):

@@ -104,3 +104,30 @@ def test_keypoints_match_projection(dataset, body):
     conf = item["keypoints_2d"][..., 2]
     err = np.abs(uv - kp)[conf > 0]
     assert np.median(err) < 1.0, f"median reprojection error {np.median(err)}"
+
+
+def test_video_disk_cache_roundtrip(body, prox_tree, tmp_path):
+    """disk_cache_dir: second construction loads the pickled recording state
+    (no FK/encode) and serves identical items; config changes re-key."""
+    import os
+
+    init_root, base_dir, logdir = prox_tree
+    cache = str(tmp_path / "vcache")
+    kw = dict(
+        body_model=body, dataset="prox", init_root=init_root, base_dir=base_dir,
+        recording_name="MPH11_00034_01", task="traj", repr_abs_only=True,
+        overlap_len=2, clip_len=CLIP_LEN, logdir=logdir, disk_cache_dir=cache,
+    )
+    ds1 = VideoClipDataset(**kw)
+    assert len(os.listdir(cache)) == 1
+    ds2 = VideoClipDataset(**kw)
+    assert len(ds1) == len(ds2)
+    a, b = ds1[0], ds2[0]
+    for k in ("motion_repr_noisy", "noisy_joints", "noisy_joints_scene_coord",
+              "transf_matrix", "keypoints_2d", "mask_vec_vis", "cond"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert a["frame_name"] == b["frame_name"]
+
+    # different clip_len -> separate cache entry
+    VideoClipDataset(**{**kw, "clip_len": CLIP_LEN - 2})
+    assert len(os.listdir(cache)) == 2
