@@ -59,6 +59,39 @@ def _euler_noise_rotvec(rotvec: np.ndarray, noise_deg: np.ndarray) -> np.ndarray
     return R.from_euler("zxy", noisy, degrees=True).as_rotvec().reshape(shape)
 
 
+_JIT_CACHE: dict = {}
+
+
+def _fk_jit(body_model, joints_num: int):
+    """Jitted FK, cached per (model identity, joints_num): a fresh closure per
+    dataset construction would recompile FK every time (~10 s on CPU, up to
+    minutes over a tunneled TPU)."""
+    k = ("fk", id(body_model), joints_num)
+    if k not in _JIT_CACHE:
+        _JIT_CACHE[k] = jax.jit(
+            lambda b, g, bp, t: forward_joints(
+                body_model, b.astype(jnp.float32), g.astype(jnp.float32),
+                bp.astype(jnp.float32), t.astype(jnp.float32), num_joints=joints_num,
+            )
+        )
+    return _JIT_CACHE[k]
+
+
+def _enc_jit():
+    """Jitted repr encode (model-free), cached once per process."""
+    if "enc" not in _JIT_CACHE:
+        _JIT_CACHE["enc"] = jax.jit(
+            lambda pos, go, tr, bp, be: get_repr(
+                pos.astype(jnp.float32),
+                global_orient=go.astype(jnp.float32),
+                transl=tr.astype(jnp.float32),
+                body_pose=bp.astype(jnp.float32),
+                betas=be.astype(jnp.float32),
+            )
+        )
+    return _JIT_CACHE["enc"]
+
+
 def _chunked_jax(fn, n: int, chunk: int, *arrays):
     """Apply a jitted fn over leading-dim chunks and concatenate on host.
 
@@ -182,18 +215,8 @@ class AmassClipDataset:
                 cano_params, load_noise, loaded_smplx_noise_dict
             )
             self.noisy_params = noisy_params
-            fk = jax.jit(
-                lambda b, g, bp, t: forward_joints(
-                    body_model,
-                    b.astype(jnp.float32),
-                    g.astype(jnp.float32),
-                    bp.astype(jnp.float32),
-                    t.astype(jnp.float32),
-                    num_joints=joints_num,
-                )
-            )
             self.joints_noisy = _chunked_jax(
-                fk,
+                _fk_jit(body_model, joints_num),
                 self.n_samples,
                 fk_chunk,
                 noisy_params["betas"],
@@ -250,7 +273,7 @@ class AmassClipDataset:
                     p = os.path.join(dirpath, fn)
                     st = os.stat(p)
                     h.update(
-                        f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}".encode()
+                        f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}".encode()
                     )
         if load_noise and loaded_noise is not None:
             for k in sorted(loaded_noise):
@@ -355,17 +378,8 @@ class AmassClipDataset:
         return noisy, noise
 
     def _encode(self, positions, params, chunk):
-        enc = jax.jit(
-            lambda pos, go, tr, bp, be: get_repr(
-                pos.astype(jnp.float32),
-                global_orient=go.astype(jnp.float32),
-                transl=tr.astype(jnp.float32),
-                body_pose=bp.astype(jnp.float32),
-                betas=be.astype(jnp.float32),
-            )
-        )
         return _chunked_jax(
-            enc,
+            _enc_jit(),
             self.n_samples,
             chunk,
             positions,

@@ -199,7 +199,7 @@ class VideoClipDataset:
                 for fn in sorted(filenames):
                     p = os.path.join(dirpath, fn)
                     st = os.stat(p)
-                    h.update(f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}".encode())
+                    h.update(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}".encode())
         return h.hexdigest()[:16]
 
     # ------------------------------------------------------------------
@@ -207,13 +207,10 @@ class VideoClipDataset:
         """Batched FK for all frames + rigid lift to world coords.
 
         Returns (joints_world [T, 22, 3], params_world dict)."""
+        from rohm_tpu.data.amass import _fk_jit
+
         model = model if model is not None else self.body_model
-        fk = jax.jit(
-            lambda b, g, bp, t: forward_joints(
-                model, b.astype(jnp.float32), g.astype(jnp.float32),
-                bp.astype(jnp.float32), t.astype(jnp.float32), num_joints=self.joints_num,
-            )
-        )
+        fk = _fk_jit(model, self.joints_num)
         n = len(params["transl"])
         outs = []
         for s in range(0, n, self._fk_chunk):
@@ -386,17 +383,13 @@ class VideoClipDataset:
         self.transf_matrix = np.stack(transf_list) if transf_list else np.zeros((0, 4, 4))
 
         if self.n_samples:
+            from rohm_tpu.data.amass import _enc_jit
+
             params = {
                 k: np.stack([cp[k].reshape(self.clip_len, -1) for cp in cano_params_list])
                 for k in ("global_orient", "transl", "body_pose", "betas")
             }
-            enc = jax.jit(
-                lambda pos, go, tr, bp, be: get_repr(
-                    pos.astype(jnp.float32), global_orient=go.astype(jnp.float32),
-                    transl=tr.astype(jnp.float32), body_pose=bp.astype(jnp.float32),
-                    betas=be.astype(jnp.float32),
-                )
-            )
+            enc = _enc_jit()
             self.repr_input = np.asarray(
                 enc(
                     jnp.asarray(self.cano_joints), jnp.asarray(params["global_orient"]),
