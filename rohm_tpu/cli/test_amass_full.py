@@ -194,14 +194,19 @@ def main(argv=None):
     if stats_dir is None:
         # no trained stats available: compute them from this data (synthetic
         # runs). Stats depend only on the clean repr of this tree, so build
-        # the stats view noise-free (skips a redundant FK + encode) and cache
-        # the result beside the tree for later runs.
-        stats_dir = os.path.join(args.dataset_root, "_stats_cache")
+        # the stats view noise-free (skips a redundant FK + encode; the build
+        # itself is disk-cached via common_kw's disk_cache_dir) and save the
+        # stats under a directory KEYED like the derived-array cache, so a
+        # changed tree / clip_len / body model can never serve stale stats.
+        ds_stats = AmassClipDataset(
+            split="train", task="pose", logdir=None, input_noise=False, **common_kw
+        )
+        key = (
+            os.path.splitext(os.path.basename(ds_stats._cache_path))[0]
+            if ds_stats._cache_path else "default"
+        )
+        stats_dir = os.path.join(args.dataset_root, "_stats_cache", key)
         if not os.path.exists(os.path.join(stats_dir, "AMASS_mean.pkl")):
-            ds_stats = AmassClipDataset(
-                split="train", task="pose", logdir=None, input_noise=False, **common_kw
-            )
-            os.makedirs(stats_dir, exist_ok=True)
             from rohm_tpu.reprs.stats import save_stats
 
             save_stats(stats_dir, ds_stats.mean, ds_stats.std)

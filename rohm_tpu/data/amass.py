@@ -60,14 +60,20 @@ def _euler_noise_rotvec(rotvec: np.ndarray, noise_deg: np.ndarray) -> np.ndarray
 
 
 _JIT_CACHE: dict = {}
+_JIT_CACHE_MAX_MODELS = 8  # bound: each entry pins a model + compiled programs
+_FINGERPRINT_CACHE: dict = {}
 
 
 def _fk_jit(body_model, joints_num: int):
     """Jitted FK, cached per (model identity, joints_num): a fresh closure per
     dataset construction would recompile FK every time (~10 s on CPU, up to
-    minutes over a tunneled TPU)."""
+    minutes over a tunneled TPU). Bounded: oldest model entries evict so a
+    process iterating many models doesn't pin them all alive."""
     k = ("fk", id(body_model), joints_num)
     if k not in _JIT_CACHE:
+        fk_keys = [key for key in _JIT_CACHE if key[0] == "fk"]
+        if len(fk_keys) >= _JIT_CACHE_MAX_MODELS:
+            del _JIT_CACHE[fk_keys[0]]
         _JIT_CACHE[k] = jax.jit(
             lambda b, g, bp, t: forward_joints(
                 body_model, b.astype(jnp.float32), g.astype(jnp.float32),
@@ -75,6 +81,39 @@ def _fk_jit(body_model, joints_num: int):
             )
         )
     return _JIT_CACHE[k]
+
+
+def model_fingerprint(body_model) -> str:
+    """sha1 over every pytree leaf of the body model (shapes + bytes), memoized
+    per model identity. Disk-cache keys must include this: cached FK outputs
+    are functions of the model, and a synthetic-fallback cache must not be
+    served after real SMPL-X weights appear."""
+    import hashlib
+
+    k = id(body_model)
+    if k not in _FINGERPRINT_CACHE:
+        h = hashlib.sha1()
+        for leaf in jax.tree.leaves(body_model):
+            a = np.asarray(leaf)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+        if len(_FINGERPRINT_CACHE) >= _JIT_CACHE_MAX_MODELS:
+            _FINGERPRINT_CACHE.pop(next(iter(_FINGERPRINT_CACHE)))
+        _FINGERPRINT_CACHE[k] = h.hexdigest()[:16]
+    return _FINGERPRINT_CACHE[k]
+
+
+def _walk_fingerprint(h, root: str) -> None:
+    """Feed path/size/mtime of every file under root into hash h, skipping
+    cache dirs (a cache stored inside a fingerprinted tree must not invalidate
+    itself by existing)."""
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames[:] = sorted(d for d in dirnames if d not in ("_repr_cache", "_stats_cache"))
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}".encode())
 
 
 def _enc_jit():
@@ -174,6 +213,7 @@ class AmassClipDataset:
                 preprocessed_amass_root, amass_datasets or [], split, spacing,
                 clip_len, joints_num, seed, input_noise, load_noise,
                 self.noise_std_params, noise_std_joint, loaded_smplx_noise_dict,
+                model_fingerprint(body_model),
             )
             self._cache_path = os.path.join(disk_cache_dir, f"amass_{key}.npz")
             if os.path.exists(self._cache_path):
@@ -253,9 +293,10 @@ class AmassClipDataset:
     @staticmethod
     def _disk_cache_key(root, datasets, split, spacing, clip_len, joints_num,
                         seed, input_noise, load_noise, noise_std_params,
-                        noise_std_joint, loaded_noise):
-        """Fingerprint of everything the derived arrays depend on: config plus
-        the file listing (path/size/mtime) of the preprocessed tree."""
+                        noise_std_joint, loaded_noise, model_fp):
+        """Fingerprint of everything the derived arrays depend on: config, the
+        body model, and the file listing (path/size/mtime) of BOTH preprocessed
+        trees (joints npys AND smplx-params npys — _load_clips reads both)."""
         import hashlib
         import json
 
@@ -263,18 +304,12 @@ class AmassClipDataset:
         cfg = dict(split=split, spacing=spacing, clip_len=clip_len,
                    joints_num=joints_num, seed=seed, input_noise=input_noise,
                    load_noise=load_noise, noise_std_joint=noise_std_joint,
+                   model=model_fp,
                    stds={k: noise_std_params[k] for k in sorted(noise_std_params)})
         h.update(json.dumps(cfg, sort_keys=True).encode())
         for ds in sorted(datasets):
-            base = os.path.join(root, "pose_data_fps_30", ds)
-            for dirpath, dirnames, filenames in sorted(os.walk(base)):
-                dirnames.sort()
-                for fn in sorted(filenames):
-                    p = os.path.join(dirpath, fn)
-                    st = os.stat(p)
-                    h.update(
-                        f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}".encode()
-                    )
+            for tree in ("pose_data_fps_30", "smpl_data_fps_30"):
+                _walk_fingerprint(h, os.path.join(root, tree, ds))
         if load_noise and loaded_noise is not None:
             for k in sorted(loaded_noise):
                 h.update(np.ascontiguousarray(loaded_noise[k]).tobytes())

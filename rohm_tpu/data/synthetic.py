@@ -11,29 +11,19 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from rohm_tpu.body import SmplxModel, forward_joints
-
-# forward_joints unrolls the kinematic chain into hundreds of elementwise ops;
-# called eagerly per sequence over a remote-TPU tunnel that is minutes of
-# dispatch latency for a 135-sequence tree. One jitted program per body model
-# (keyed by identity; shapes just add jit cache entries) makes it one dispatch.
-_FK_JIT_CACHE: dict = {}
-
-
-def _jitted_fk(model: SmplxModel):
-    fn = _FK_JIT_CACHE.get(id(model))
-    if fn is None:
-        import jax
-
-        fn = jax.jit(lambda b, g, bp, t: forward_joints(model, b, g, bp, t))
-        _FK_JIT_CACHE[id(model)] = fn
-    return fn
+from rohm_tpu.body import NUM_BODY_JOINTS, SmplxModel
 
 
 def _fk_positions(model: SmplxModel, params: dict) -> np.ndarray:
-    """One jitted FK call over params with a flat leading dim [N, ...]."""
+    """One jitted FK call over params with a flat leading dim [N, ...].
+
+    Uses the shared per-model jitted-FK cache (rohm_tpu.data.amass._fk_jit):
+    eager per-sequence FK was minutes of dispatch latency over a remote-TPU
+    tunnel for a 135-sequence tree."""
+    from rohm_tpu.data.amass import _fk_jit
+
     return np.asarray(
-        _jitted_fk(model)(
+        _fk_jit(model, NUM_BODY_JOINTS)(
             jnp.asarray(params["betas"], jnp.float32),
             jnp.asarray(params["global_orient"], jnp.float32),
             jnp.asarray(params["body_pose"], jnp.float32),

@@ -156,9 +156,15 @@ class VideoClipDataset:
         if disk_cache_dir is not None:
             key = self._disk_cache_key(init_root, base_dir)
             cache_path = os.path.join(disk_cache_dir, f"video_{key}.pkl")
+        # per-view / per-process config must never be clobbered by a cache
+        # load (the key is deliberately view-independent so pose/traj views
+        # share one entry) and never pinned into the pickle
+        _UNCACHED = ("body_model", "gendered_models", "task", "repr_abs_only",
+                     "traj_feat_dim", "pose_feat_dim", "_fk_chunk")
         if cache_path is not None and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
-                self.__dict__.update(pickle.load(f))
+                state = pickle.load(f)
+            self.__dict__.update({k: v for k, v in state.items() if k not in _UNCACHED})
         else:
             if dataset == "prox":
                 self._read_prox(init_root, base_dir)
@@ -168,8 +174,7 @@ class VideoClipDataset:
             if cache_path is not None:
                 os.makedirs(disk_cache_dir, exist_ok=True)
                 state = {
-                    k: v for k, v in self.__dict__.items()
-                    if k not in ("body_model", "gendered_models")
+                    k: v for k, v in self.__dict__.items() if k not in _UNCACHED
                 }
                 tmp = cache_path + ".tmp"
                 with open(tmp, "wb") as f:
@@ -180,26 +185,26 @@ class VideoClipDataset:
         self.mean, self.std = load_stats(logdir)
 
     def _disk_cache_key(self, init_root: str, base_dir: str) -> str:
-        """Fingerprint: config + listing (path/size/mtime) of every file under
-        the recording-specific trees (init fits, base_dir metadata/masks/
-        keypoints/calibrations all live under these two roots)."""
+        """Fingerprint: config + body model(s) + listing (path/size/mtime) of
+        every file under the init/base trees (cache dirs pruned so a cache
+        stored under base_dir doesn't invalidate itself). View config (task /
+        repr_abs_only) is deliberately NOT keyed — views share the entry."""
         import hashlib
         import json
+
+        from rohm_tpu.data.amass import _walk_fingerprint, model_fingerprint
 
         h = hashlib.sha1()
         cfg = dict(dataset=self.dataset, recording=self.recording_name,
                    clip_len=self.clip_len, overlap_len=self.overlap_len,
                    joints_num=self.joints_num,
                    scene_floor=self.use_scene_floor_height,
-                   genders=sorted(self.gendered_models))
+                   model=model_fingerprint(self.body_model),
+                   genders={g: model_fingerprint(m)
+                            for g, m in sorted(self.gendered_models.items())})
         h.update(json.dumps(cfg, sort_keys=True).encode())
         for root in (init_root, base_dir):
-            for dirpath, dirnames, filenames in sorted(os.walk(root)):
-                dirnames.sort()
-                for fn in sorted(filenames):
-                    p = os.path.join(dirpath, fn)
-                    st = os.stat(p)
-                    h.update(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}".encode())
+            _walk_fingerprint(h, root)
         return h.hexdigest()[:16]
 
     # ------------------------------------------------------------------

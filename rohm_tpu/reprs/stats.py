@@ -45,13 +45,19 @@ def _to_dicts(mean: np.ndarray, std: np.ndarray) -> tuple[dict, dict]:
 
 
 def save_stats(logdir: str, mean: np.ndarray, std: np.ndarray, prefix: str = "AMASS") -> None:
-    """Save stats as block dicts (pickle format compatible with the reference)."""
+    """Save stats as block dicts (pickle format compatible with the reference).
+
+    Writes are atomic (tmp + rename, std before mean) so an interrupted run
+    can never leave a mean file without a matching std file — callers treat
+    the mean file's existence as "stats are present"."""
     os.makedirs(logdir, exist_ok=True)
     mean_d, std_d = _to_dicts(mean, std)
-    with open(os.path.join(logdir, f"{prefix}_mean.pkl"), "wb") as f:
-        pickle.dump(mean_d, f, protocol=2)
-    with open(os.path.join(logdir, f"{prefix}_std.pkl"), "wb") as f:
-        pickle.dump(std_d, f, protocol=2)
+    for name, payload in (("std", std_d), ("mean", mean_d)):
+        path = os.path.join(logdir, f"{prefix}_{name}.pkl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=2)
+        os.replace(tmp, path)
 
 
 def load_stats(logdir: str, prefix: str = "AMASS") -> tuple[np.ndarray, np.ndarray]:

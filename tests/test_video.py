@@ -131,3 +131,45 @@ def test_video_disk_cache_roundtrip(body, prox_tree, tmp_path):
     # different clip_len -> separate cache entry
     VideoClipDataset(**{**kw, "clip_len": CLIP_LEN - 2})
     assert len(os.listdir(cache)) == 2
+
+
+def test_video_disk_cache_does_not_clobber_view_config(body, prox_tree, tmp_path):
+    """The cache key is view-independent; a cache written by a pose-view build
+    must not overwrite a traj-view constructor's task/repr_abs_only."""
+    import os
+
+    init_root, base_dir, logdir = prox_tree
+    cache = str(tmp_path / "vcache2")
+    kw = dict(
+        body_model=body, dataset="prox", init_root=init_root, base_dir=base_dir,
+        recording_name="MPH11_00034_01", overlap_len=2, clip_len=CLIP_LEN,
+        logdir=logdir, disk_cache_dir=cache,
+    )
+    ds_pose = VideoClipDataset(task="pose", repr_abs_only=False, **kw)
+    assert len(os.listdir(cache)) == 1
+    ds_traj = VideoClipDataset(task="traj", repr_abs_only=True, **kw)
+    assert len(os.listdir(cache)) == 1  # shared entry, no rebuild
+    assert ds_traj.task == "traj" and ds_traj.repr_abs_only is True
+    assert ds_traj.traj_feat_dim == 13
+    item = ds_traj[0]
+    assert item["cond"].shape == (CLIP_LEN - 1, 13)
+    assert "control_cond" in item
+    assert "cond" not in ds_pose[0]
+
+
+def test_video_disk_cache_keys_on_body_model(body, prox_tree, tmp_path):
+    """A different body model must re-key the cache (FK outputs depend on it)."""
+    import os
+
+    from rohm_tpu.body import synthetic_model
+
+    init_root, base_dir, logdir = prox_tree
+    cache = str(tmp_path / "vcache3")
+    kw = dict(
+        dataset="prox", init_root=init_root, base_dir=base_dir,
+        recording_name="MPH11_00034_01", task="traj", repr_abs_only=True,
+        overlap_len=2, clip_len=CLIP_LEN, logdir=logdir, disk_cache_dir=cache,
+    )
+    VideoClipDataset(body_model=body, **kw)
+    VideoClipDataset(body_model=synthetic_model(num_verts=48), **kw)
+    assert len(os.listdir(cache)) == 2
