@@ -61,6 +61,10 @@ class SmplxModel:
     j_shapedirs: jnp.ndarray = None  # [NUM_JOINTS, 3, NUM_BETAS]
     # triangle table for mesh viz/rendering (None for synthetic models)
     faces: Any = struct.field(pytree_node=False, default=None)  # [F, 3] int np
+    # host-computed content hash, stamped at construction: disk-cache keys
+    # need it WITHOUT pulling device arrays back over a (possibly tunneled)
+    # transport
+    fingerprint: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def num_verts(self) -> int:
@@ -98,8 +102,20 @@ def load_smplx_npz(path: str, dtype=jnp.float32) -> SmplxModel:
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs_weights, dtype),
         parents=tuple(int(p) for p in parents),
+        fingerprint=_file_fingerprint(path, dtype),
     )
     return _finalize(model)
+
+
+def _file_fingerprint(path: str, dtype) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str(jnp.dtype(dtype)).encode())
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return "npz-" + h.hexdigest()[:16]
 
 
 def synthetic_model(num_verts: int = 512, seed: int = 0, dtype=jnp.float32) -> SmplxModel:
@@ -148,6 +164,8 @@ def synthetic_model(num_verts: int = 512, seed: int = 0, dtype=jnp.float32) -> S
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs_w, dtype),
         parents=tuple(int(p) for p in SMPLX_PARENTS),
+        # construction is deterministic in (num_verts, seed, dtype)
+        fingerprint=f"synthetic-{num_verts}-{seed}-{jnp.dtype(dtype)}",
     )
     return _finalize(model)
 

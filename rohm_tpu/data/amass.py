@@ -84,12 +84,18 @@ def _fk_jit(body_model, joints_num: int):
 
 
 def model_fingerprint(body_model) -> str:
-    """sha1 over every pytree leaf of the body model (shapes + bytes), memoized
-    per model identity. Disk-cache keys must include this: cached FK outputs
+    """Content hash of the body model for disk-cache keys: cached FK outputs
     are functions of the model, and a synthetic-fallback cache must not be
-    served after real SMPL-X weights appear."""
+    served after real SMPL-X weights appear.
+
+    Models stamped at construction (SmplxModel.fingerprint) return that hash
+    directly; the leaf-hashing fallback pulls every array to the host, which
+    over a tunneled TPU can cost minutes — hence memoized per identity."""
     import hashlib
 
+    fp = getattr(body_model, "fingerprint", None)
+    if fp is not None:
+        return fp
     k = id(body_model)
     if k not in _FINGERPRINT_CACHE:
         h = hashlib.sha1()
