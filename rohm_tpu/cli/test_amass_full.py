@@ -255,9 +255,30 @@ def main(argv=None):
     decode_rec, decode_noisy = make_pickle_decoders(body, t_repr - 1)
     mean_d, std_d = jnp.asarray(mean), jnp.asarray(std)
 
-    # Dispatch every batch asynchronously (pipeline + jitted pickle-decode are
-    # all device programs); block only once at collection so the device runs
-    # batch k+1 while the host preps k+2 and drains k.
+    # Dispatch batches asynchronously (pipeline + jitted pickle-decode are
+    # all device programs) with a BOUNDED in-flight window: keeping every
+    # batch's device outputs alive until the end grows HBM linearly with
+    # batch count (~25 MB/batch at bs=64); draining the oldest entry once
+    # newer ones are in flight gives the same host/device overlap at O(1)
+    # device memory.
+    MAX_PENDING = 3
+
+    # entry key -> reference pickle key (test_amass_full.py:443-454)
+    pickle_key = {
+        "motion_repr_clean": "motion_repr_clean_list",
+        "motion_repr_rec": "motion_repr_rec_list",
+        "motion_repr_noisy": "motion_repr_noisy_list",
+        "rec_ric_data_clean": "rec_ric_data_clean_list",
+        "rec_ric_data_noisy": "rec_ric_data_noisy_list",
+        "rec_ric_data_rec_from_abs_traj": "rec_ric_data_rec_list_from_abs_traj",
+        "rec_ric_data_rec_from_smpl": "rec_ric_data_rec_list_from_smpl",
+    }
+
+    def drain(entry):
+        valid = entry.pop("valid")
+        for k, v in entry.items():
+            out[pickle_key[k]].append(np.asarray(v)[:valid])
+
     pending = []
     pose_batches = test_pose_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
     traj_batches = test_traj_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
@@ -305,24 +326,14 @@ def main(argv=None):
                 jnp.asarray(noisy), mean_d, std_d
             )
         pending.append(entry)
+        while len(pending) > MAX_PENDING:
+            drain(pending.pop(0))
         t0 = _phase("batch_dispatch", t0)
         print(f"[test_amass_full] batch {step}: dispatched")
 
-    # entry key -> reference pickle key (test_amass_full.py:443-454)
-    pickle_key = {
-        "motion_repr_clean": "motion_repr_clean_list",
-        "motion_repr_rec": "motion_repr_rec_list",
-        "motion_repr_noisy": "motion_repr_noisy_list",
-        "rec_ric_data_clean": "rec_ric_data_clean_list",
-        "rec_ric_data_noisy": "rec_ric_data_noisy_list",
-        "rec_ric_data_rec_from_abs_traj": "rec_ric_data_rec_list_from_abs_traj",
-        "rec_ric_data_rec_from_smpl": "rec_ric_data_rec_list_from_smpl",
-    }
     t0 = time.perf_counter()
     for entry in pending:
-        valid = entry.pop("valid")
-        for k, v in entry.items():
-            out[pickle_key[k]].append(np.asarray(v)[:valid])
+        drain(entry)
     t0 = _phase("device_wait_and_collect", t0)
 
     os.makedirs(args.save_root, exist_ok=True)

@@ -150,6 +150,25 @@ def main(argv=None):
             recover_from_repr(split_repr(rec), mode="smplx_params", body_model=body),
         )
 
+    # bounded async window (see test_amass_full.py): device outputs of at
+    # most MAX_PENDING batches stay alive; older ones drain to host numpy
+    MAX_PENDING = 3
+    frame_names = []
+
+    def drain(e):
+        v, bp = e["valid"], e["bp"]
+        frame_names.extend(bp["frame_name"][:v])
+        out["trans_scene2cano_list"].append(bp["transf_matrix"][:v])
+        out["rec_ric_data_noisy_list"].append(np.asarray(e["rec_ric_data_noisy"])[:v])
+        out["rec_ric_data_rec_list_from_abs_traj"].append(np.asarray(e["rec_from_abs_traj"])[:v])
+        out["rec_ric_data_rec_list_from_smpl"].append(np.asarray(e["rec_from_smpl"])[:v])
+        out["joints_input_scene_coord_list"].append(bp["noisy_joints_scene_coord"][:v])
+        if args.dataset == "egobody":
+            out["joints_gt_scene_coord_list"].append(bp["gt_joints_scene_coord"][:v])
+        out["motion_repr_rec_list"].append(np.asarray(e["motion_repr_rec"])[:v])
+        out["motion_repr_noisy_list"].append(np.asarray(e["motion_repr_noisy"])[:v])
+        out["mask_joint_vis_list"].append(bp["mask_joint_vis"][:v, : t_repr - 1])
+
     pending = []
     pose_batches = test_pose_dataset.batches(args.batch_size, pad_last=True)
     traj_batches = test_traj_dataset.batches(args.batch_size, pad_last=True)
@@ -182,22 +201,12 @@ def main(argv=None):
             entry["rec_ric_data_noisy"], entry["rec_from_abs_traj"], entry["rec_from_smpl"],
         ) = decode_batch(val_pose, jnp.asarray(bp["motion_repr_noisy"]), mean_d, std_d)
         pending.append(entry)
+        while len(pending) > MAX_PENDING:
+            drain(pending.pop(0))
         print(f"[test_prox_egobody] batch {step}: dispatched")
 
-    frame_names = []
     for e in pending:
-        v, bp = e["valid"], e["bp"]
-        frame_names.extend(bp["frame_name"][:v])
-        out["trans_scene2cano_list"].append(bp["transf_matrix"][:v])
-        out["rec_ric_data_noisy_list"].append(np.asarray(e["rec_ric_data_noisy"])[:v])
-        out["rec_ric_data_rec_list_from_abs_traj"].append(np.asarray(e["rec_from_abs_traj"])[:v])
-        out["rec_ric_data_rec_list_from_smpl"].append(np.asarray(e["rec_from_smpl"])[:v])
-        out["joints_input_scene_coord_list"].append(bp["noisy_joints_scene_coord"][:v])
-        if args.dataset == "egobody":
-            out["joints_gt_scene_coord_list"].append(bp["gt_joints_scene_coord"][:v])
-        out["motion_repr_rec_list"].append(np.asarray(e["motion_repr_rec"])[:v])
-        out["motion_repr_noisy_list"].append(np.asarray(e["motion_repr_noisy"])[:v])
-        out["mask_joint_vis_list"].append(bp["mask_joint_vis"][:v, : t_repr - 1])
+        drain(e)
 
     save_data = {
         "repr_name_list": REPR_LIST,

@@ -79,22 +79,17 @@ def p_sample_loop(
     else:
         x_init = noise
 
-    # Guidance thresholds are defined on ORIGINAL timesteps (the reference
-    # compares t[0] <= 50/100 AFTER _WrappedModel's timestep_map remap,
-    # gaussian_diffusion_posenet.py:461-477 + respace.py:183-195). Map each
-    # threshold to internal scan-index space: the map is monotonic, so the
-    # internal threshold is the last index whose original timestep is <= it.
-    # Identity with empty respacing (all shipped configs); differs under
-    # 'ddimN'.
-    tmap_host = np.asarray(jax.core.concrete_or_error(
-        None, sched.timestep_map,
-        "p_sample_loop needs a concrete timestep_map to place guidance "
-        "thresholds; pass the schedule as a closure, not a traced argument.",
-    )) if guidance else None
-    internal_thr = tuple(
-        int(np.searchsorted(tmap_host, s.t_threshold, side="right")) - 1
-        for s in guidance
-    )
+    # Guidance thresholds compare the INTERNAL (spaced) step index, exactly as
+    # the reference does: `t[0] <= 50/100` runs inside the BASE class's
+    # p_sample_with_grad on the raw loop index
+    # (gaussian_diffusion_posenet.py:461-477); SpacedDiffusion's _WrappedModel
+    # remaps ts for the MODEL call only (respace.py:183-195). So under
+    # 'ddimN' respacing the reference guides the last thr+1 SPACED steps, not
+    # original timesteps <= thr — identical with empty respacing (all shipped
+    # configs). An earlier round mapped thresholds through timestep_map here;
+    # that inverted the reference's semantics and guided ~10x fewer steps
+    # under respacing.
+    internal_thr = tuple(int(s.t_threshold) for s in guidance)
 
     def guidance_shift(pred_x0, t, var, active: tuple[bool, ...]):
         """Sum of guidance mean-shifts. `active[i]` statically includes spec i

@@ -29,14 +29,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rohm_tpu.ops.transformer_layer import _default_interpret, _erf
-
-LN_EPS = 1e-6
+from rohm_tpu.ops.kernel_common import (
+    LN_EPS,
+    attention_bf16,
+    fuse_qkv,
+    gelu_tanh,
+    posenet_prep_tail,
+    post_ln,
+)
+from rohm_tpu.ops.transformer_layer import _default_interpret
 
 
 def _layer_kernel_bf16(
     x_ref,                 # [G, S, D] bf16
-    wqkv_ref, bqkv_ref,    # [D, 3D] bf16, [3D] f32
+    wqkv_ref, bqkv_ref,    # [D, 3D] bf16, [3D] bf16 (the dot result is
+                           # already rounded to bf16 before the bias add, so
+                           # a f32 bias would buy nothing; the int8 kernel's
+                           # f32 bias adds onto a f32 accumulator instead)
     wo_ref, bo_ref,        # [D, D] bf16, [D] f32
     ln1_s_ref, ln1_b_ref,  # [D] f32
     w1_ref, b1_ref,        # [D, F] bf16, [F] f32
@@ -46,10 +55,8 @@ def _layer_kernel_bf16(
     *, num_heads: int,
 ):
     g, s, d = x_ref.shape
-    dh = d // num_heads
-    rows = g * s
 
-    x = x_ref[:].reshape(rows, d)  # bf16
+    x = x_ref[:].reshape(g * s, d)  # bf16
     # f32 accumulate (Mosaic requires a 32-bit acc), single rounding to bf16.
     # The attention scale 1/sqrt(dh) is folded into W_q at prepare time.
     qkv = (
@@ -64,47 +71,24 @@ def _layer_kernel_bf16(
     # attention per (sequence, head): [S, dh] x [dh, S] -> f32 softmax ->
     # bf16 probs x [S, dh]. Static python loops: G*H is small (32) and every
     # GEMM operand is a static slice; outputs reassemble via concatenation.
-    seq_outs = []
-    for gi in range(g):
-        r = slice(gi * s, (gi + 1) * s)
-        head_outs = []
-        for h in range(num_heads):
-            c = slice(h * dh, (h + 1) * dh)
-            scores = jax.lax.dot_general(
-                q[r, c], k[r, c],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [S, S]
-            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-            head_outs.append(
-                jnp.dot(probs, v[r, c], preferred_element_type=jnp.float32)
-                .astype(jnp.bfloat16)
-            )
-        seq_outs.append(jnp.concatenate(head_outs, axis=-1))  # [S, D]
-    attn = jnp.concatenate(seq_outs, axis=0)  # [rows, D] bf16
+    attn = attention_bf16(q, k, v, g, s, num_heads)
     attn = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
 
-    # post-LN residual 1 (f32 stats, one-pass var = E[y^2] - mu^2)
-    y = x.astype(jnp.float32) + attn
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-    y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln1_s_ref[:] + ln1_b_ref[:]
+    # post-LN residual 1 (f32 stats)
+    y = post_ln(x.astype(jnp.float32) + attn, ln1_s_ref[:], ln1_b_ref[:])
 
     # feed-forward (bf16 GEMMs; tanh-gelu — its deviation from exact-erf gelu
     # (<=1e-3) is below the bf16 activation rounding already accepted here)
     yb = y.astype(jnp.bfloat16)
     h1 = jnp.dot(yb, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h1 = 0.5 * h1 * (1.0 + jnp.tanh(0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)))
+    h1 = gelu_tanh(h1)
     h2 = (
         jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:], preferred_element_type=jnp.float32)
         + b2_ref[:]
     )
 
     # post-LN residual 2 (f32), emit bf16 for the next layer
-    z = y + h2
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
-    out = (z - mu) * jax.lax.rsqrt(var + LN_EPS) * ln2_s_ref[:] + ln2_b_ref[:]
+    out = post_ln(y + h2, ln2_s_ref[:], ln2_b_ref[:])
     out_ref[:] = out.astype(jnp.bfloat16).reshape(g, s, d)
 
 
@@ -114,28 +98,11 @@ def prepare_layer_bf16(layer: dict) -> tuple:
     cost more than they save)."""
     d = layer["LayerNorm_0"]["scale"].shape[-1]
     attn = layer["MultiHeadDotProductAttention_0"]
-    num_heads = attn["query"]["kernel"].shape[-2] if attn["query"]["kernel"].ndim == 3 else 4
-    dh = d // num_heads
-    scale = 1.0 / (dh ** 0.5)  # folded into W_q/b_q (kernel skips the mul)
-    wqkv = jnp.concatenate(
-        [
-            attn["query"]["kernel"].reshape(d, d) * scale,
-            attn["key"]["kernel"].reshape(d, d),
-            attn["value"]["kernel"].reshape(d, d),
-        ],
-        axis=-1,
-    ).astype(jnp.bfloat16)
-    bqkv = jnp.concatenate(
-        [
-            attn["query"]["bias"].reshape(d) * scale,
-            attn["key"]["bias"].reshape(d),
-            attn["value"]["bias"].reshape(d),
-        ]
-    ).astype(jnp.bfloat16)
+    wqkv, bqkv = fuse_qkv(attn, d)
     f32 = lambda a: a.astype(jnp.float32)
     bf16 = lambda a: a.astype(jnp.bfloat16)
     return (
-        wqkv, bqkv,
+        bf16(wqkv), bf16(bqkv),
         bf16(attn["out"]["kernel"].reshape(d, d)), f32(attn["out"]["bias"]),
         f32(layer["LayerNorm_0"]["scale"]), f32(layer["LayerNorm_0"]["bias"]),
         bf16(layer["Dense_0"]["kernel"]), f32(layer["Dense_0"]["bias"]),
@@ -188,18 +155,10 @@ def fused_encoder_layer_bf16(
 def prepare_posenet_fused(params: dict, num_layers: int = 8, max_len: int = 5000):
     """One-time preprocessing of a PoseNet param tree for the bf16 path:
     per-layer fused/cast weights + f32 embedding/head params + PE table."""
-    from rohm_tpu.models.blocks import transformer_pe_table
-
     p = params["params"]
-    d = p["input_process"]["kernel"].shape[-1]
     return {
         "layers": tuple(prepare_layer_bf16(p[f"layer_{i}"]) for i in range(num_layers)),
-        "pe": jnp.asarray(transformer_pe_table(max_len, d)),
-        "t_w0": p["Dense_0"]["kernel"], "t_b0": p["Dense_0"]["bias"],
-        "t_w1": p["Dense_1"]["kernel"], "t_b1": p["Dense_1"]["bias"],
-        "in_w": p["input_process"]["kernel"], "in_b": p["input_process"]["bias"],
-        "inc_w": p["input_process_cond"]["kernel"], "inc_b": p["input_process_cond"]["bias"],
-        "out_w": p["output_process"]["kernel"], "out_b": p["output_process"]["bias"],
+        **posenet_prep_tail(params, max_len),
     }
 
 

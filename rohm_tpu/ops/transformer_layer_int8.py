@@ -32,9 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rohm_tpu.ops.kernel_common import (
+    attention_bf16,
+    fuse_qkv,
+    gelu_tanh,
+    posenet_prep_tail,
+    post_ln,
+)
 from rohm_tpu.ops.transformer_layer import _default_interpret
-
-LN_EPS = 1e-6
 
 
 def _quant_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -66,7 +71,6 @@ def _layer_kernel_int8(
     *, num_heads: int,
 ):
     g, s, d = x_ref.shape
-    dh = d // num_heads
     rows = g * s
 
     x = x_ref[:].reshape(rows, d)
@@ -76,47 +80,23 @@ def _layer_kernel_int8(
     k = qkv[:, d : 2 * d]
     v = qkv[:, 2 * d :]
 
-    # attention per (sequence, head), bf16 GEMMs + f32 softmax — identical to
-    # the bf16 kernel (1/sqrt(dh) folded into the QKV scales at prepare time)
-    seq_outs = []
-    for gi in range(g):
-        r = slice(gi * s, (gi + 1) * s)
-        head_outs = []
-        for h in range(num_heads):
-            c = slice(h * dh, (h + 1) * dh)
-            scores = jax.lax.dot_general(
-                q[r, c], k[r, c],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-            head_outs.append(
-                jnp.dot(probs, v[r, c], preferred_element_type=jnp.float32)
-                .astype(jnp.bfloat16)
-            )
-        seq_outs.append(jnp.concatenate(head_outs, axis=-1))
-    attn = jnp.concatenate(seq_outs, axis=0)  # [rows, D] bf16
+    # attention stays bf16 GEMMs + f32 softmax — small (~17 us/layer) and the
+    # most numerically delicate part (1/sqrt(dh) folded into the QKV scales)
+    attn = attention_bf16(q, k, v, g, s, num_heads)
     qa, ra = _quant_rows(attn)
     attn = _dot_i8(qa, ra, wo_ref[:], so_ref[:]) + bo_ref[:]
 
     # post-LN residual 1 (f32)
-    y = x.astype(jnp.float32) + attn
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-    y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln1_s_ref[:] + ln1_b_ref[:]
+    y = post_ln(x.astype(jnp.float32) + attn, ln1_s_ref[:], ln1_b_ref[:])
 
     # feed-forward (int8 GEMMs, tanh-gelu in f32)
     qy, ry = _quant_rows(y)
-    h1 = _dot_i8(qy, ry, w1_ref[:], s1_ref[:]) + b1_ref[:]
-    h1 = 0.5 * h1 * (1.0 + jnp.tanh(0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)))
+    h1 = gelu_tanh(_dot_i8(qy, ry, w1_ref[:], s1_ref[:]) + b1_ref[:])
     qh, rh = _quant_rows(h1)
     h2 = _dot_i8(qh, rh, w2_ref[:], s2_ref[:]) + b2_ref[:]
 
     # post-LN residual 2 (f32), emit bf16 for the next layer
-    z = y + h2
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
-    out = (z - mu) * jax.lax.rsqrt(var + LN_EPS) * ln2_s_ref[:] + ln2_b_ref[:]
+    out = post_ln(y + h2, ln2_s_ref[:], ln2_b_ref[:])
     out_ref[:] = out.astype(jnp.bfloat16).reshape(g, s, d)
 
 
@@ -136,55 +116,25 @@ def _mega_kernel_int8(
     every layer boundary — 7 round trips x 2 x 1.2 MB x (B/G) groups per
     step saved), and 7 of 8 kernel launches disappear."""
     g, s, d = x_ref.shape
-    dh = d // num_heads
     rows = g * s
 
     x = x_ref[:].reshape(rows, d)
     for l in range(num_layers):
         qx, rs = _quant_rows(x)
         qkv = (_dot_i8(qx, rs, wqkv_ref[l], sqkv_ref[l]) + bqkv_ref[l]).astype(jnp.bfloat16)
-        q = qkv[:, :d]
-        k = qkv[:, d : 2 * d]
-        v = qkv[:, 2 * d :]
-
-        seq_outs = []
-        for gi in range(g):
-            r = slice(gi * s, (gi + 1) * s)
-            head_outs = []
-            for h in range(num_heads):
-                c = slice(h * dh, (h + 1) * dh)
-                scores = jax.lax.dot_general(
-                    q[r, c], k[r, c],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-                head_outs.append(
-                    jnp.dot(probs, v[r, c], preferred_element_type=jnp.float32)
-                    .astype(jnp.bfloat16)
-                )
-            seq_outs.append(jnp.concatenate(head_outs, axis=-1))
-        attn = jnp.concatenate(seq_outs, axis=0)
+        attn = attention_bf16(qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :],
+                              g, s, num_heads)
         qa, ra = _quant_rows(attn)
         attn = _dot_i8(qa, ra, wo_ref[l], so_ref[l]) + bo_ref[l]
 
-        y = x.astype(jnp.float32) + attn
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-        y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln1_s_ref[l] + ln1_b_ref[l]
+        y = post_ln(x.astype(jnp.float32) + attn, ln1_s_ref[l], ln1_b_ref[l])
 
         qy, ry = _quant_rows(y)
-        h1 = _dot_i8(qy, ry, w1_ref[l], s1_ref[l]) + b1_ref[l]
-        h1 = 0.5 * h1 * (1.0 + jnp.tanh(0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)))
+        h1 = gelu_tanh(_dot_i8(qy, ry, w1_ref[l], s1_ref[l]) + b1_ref[l])
         qh, rh = _quant_rows(h1)
         h2 = _dot_i8(qh, rh, w2_ref[l], s2_ref[l]) + b2_ref[l]
 
-        z = y + h2
-        mu = jnp.mean(z, axis=-1, keepdims=True)
-        var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
-        x = ((z - mu) * jax.lax.rsqrt(var + LN_EPS) * ln2_s_ref[l] + ln2_b_ref[l]).astype(
-            jnp.bfloat16
-        )
+        x = post_ln(y + h2, ln2_s_ref[l], ln2_b_ref[l]).astype(jnp.bfloat16)
     out_ref[:] = x.reshape(g, s, d)
 
 
@@ -244,24 +194,7 @@ def prepare_layer_int8(layer: dict) -> tuple:
     outside the sampling scan)."""
     d = layer["LayerNorm_0"]["scale"].shape[-1]
     attn = layer["MultiHeadDotProductAttention_0"]
-    num_heads = attn["query"]["kernel"].shape[-2] if attn["query"]["kernel"].ndim == 3 else 4
-    dh = d // num_heads
-    scale = 1.0 / (dh ** 0.5)  # folded into W_q/b_q
-    wqkv = jnp.concatenate(
-        [
-            attn["query"]["kernel"].reshape(d, d) * scale,
-            attn["key"]["kernel"].reshape(d, d),
-            attn["value"]["kernel"].reshape(d, d),
-        ],
-        axis=-1,
-    )
-    bqkv = jnp.concatenate(
-        [
-            attn["query"]["bias"].reshape(d) * scale,
-            attn["key"]["bias"].reshape(d),
-            attn["value"]["bias"].reshape(d),
-        ]
-    ).astype(jnp.float32)
+    wqkv, bqkv = fuse_qkv(attn, d)
     f32 = lambda a: a.astype(jnp.float32)
     wqkv_q, sqkv = _quant_cols(wqkv)
     wo_q, so = _quant_cols(attn["out"]["kernel"].reshape(d, d))
@@ -330,10 +263,7 @@ def prepare_posenet_int8(
     (1023 vs 1030 steps/s — Mosaic already overlaps the per-layer HBM
     round-trips with compute across grid iterations), so the per-layer
     kernels (mega=False) stay the production default."""
-    from rohm_tpu.models.blocks import transformer_pe_table
-
     p = params["params"]
-    d = p["input_process"]["kernel"].shape[-1]
     layers = tuple(prepare_layer_int8(p[f"layer_{i}"]) for i in range(num_layers))
     layer_entry = (
         {"layers_stacked": tuple(
@@ -342,12 +272,4 @@ def prepare_posenet_int8(
         if mega
         else {"layers": layers}
     )
-    return {
-        **layer_entry,
-        "pe": jnp.asarray(transformer_pe_table(max_len, d)),
-        "t_w0": p["Dense_0"]["kernel"], "t_b0": p["Dense_0"]["bias"],
-        "t_w1": p["Dense_1"]["kernel"], "t_b1": p["Dense_1"]["bias"],
-        "in_w": p["input_process"]["kernel"], "in_b": p["input_process"]["bias"],
-        "inc_w": p["input_process_cond"]["kernel"], "inc_b": p["input_process_cond"]["bias"],
-        "out_w": p["output_process"]["kernel"], "out_b": p["output_process"]["bias"],
-    }
+    return {**layer_entry, **posenet_prep_tail(params, max_len)}

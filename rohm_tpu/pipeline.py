@@ -153,6 +153,33 @@ class RohmPipeline:
     _jitted: Any = field(default=None, init=False, repr=False)
     _prepared_posenet: Any = field(default=None, init=False, repr=False)
 
+    def __post_init__(self):
+        if self.fused_posenet not in (False, True, "bf16", "int8", "f32"):
+            raise ValueError(
+                f"fused_posenet={self.fused_posenet!r}: expected False, True, "
+                "'bf16', 'int8' or 'f32' (an unknown value would silently run "
+                "the plain flax path)"
+            )
+        if self.mesh is not None and self.fused_posenet is not False:
+            # Mosaic custom calls have no GSPMD partitioning rule: under a
+            # sharded jit XLA would replicate the kernel's operands/compute on
+            # every chip instead of splitting the 'data' axis, silently
+            # defeating data parallelism. The multi-chip path is validated on
+            # the flax model only (tiny model, batch-sharded); fused kernels
+            # are the single-chip throughput configuration. A shard_map
+            # wrapper could lift this — needs real multi-chip hardware to
+            # validate.
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            if backend in ("tpu", "axon"):
+                raise ValueError(
+                    "fused_posenet with a multi-chip mesh is not supported on "
+                    "TPU backends (Pallas kernels do not auto-partition under "
+                    "GSPMD); use fused_posenet=False for mesh runs"
+                )
+
     def _ensure_prepared(self):
         """One-time cast/quantize of PoseNet params (outside the scan)."""
         if self._prepared_posenet is None:

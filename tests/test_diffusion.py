@@ -200,18 +200,19 @@ class TestSampler:
 
 
 class TestRespacedGuidanceThreshold:
-    """Guidance t-thresholds are defined on ORIGINAL timesteps; under
-    'ddimN' respacing they must be mapped through timestep_map (reference
-    respace.py:183-195 remaps t before gaussian_diffusion_posenet.py:461-477
-    compares t[0] <= thr)."""
+    """Guidance t-thresholds compare the INTERNAL spaced step index, like the
+    reference: `t[0] <= thr` runs in the BASE class on the raw loop index
+    (gaussian_diffusion_posenet.py:461-477); SpacedDiffusion's _WrappedModel
+    (respace.py:183-195) remaps ts for the MODEL call only. Under 'ddimN'
+    the reference guides the last thr+1 SPACED steps."""
 
-    def _run(self, thr):
+    def _run(self, thr, respacing="ddim100"):
         import jax
 
         from rohm_tpu.diffusion import make_schedule
         from rohm_tpu.diffusion.sampler import GuidanceSpec, p_sample_loop
 
-        sched = make_schedule("cosine", 1000, timestep_respacing="ddim100")
+        sched = make_schedule("cosine", 1000, timestep_respacing=respacing)
         spec = GuidanceSpec(
             loss_fn=lambda x: -jnp.sum(x), weight=1.0, t_threshold=thr
         )
@@ -224,11 +225,15 @@ class TestRespacedGuidanceThreshold:
             )
         )
 
-    def test_same_internal_bucket_identical(self):
-        # ddim100 keeps original timesteps 0,10,...,990: thresholds 50 and 59
-        # both cover internal steps {0..5} and must sample identically
-        np.testing.assert_array_equal(self._run(50), self._run(59))
+    def test_threshold_counts_spaced_steps(self):
+        # internal semantics: thresholds 50 and 59 guide DIFFERENT numbers of
+        # spaced steps (51 vs 60 of the 100 retained) and must differ; under
+        # the (wrong) original-timestep mapping both land in internal bucket 5
+        # and would be identical
+        assert np.abs(self._run(50) - self._run(59)).max() > 1e-8
 
-    def test_different_internal_bucket_differs(self):
-        # threshold 60 guides one extra retained step (original t=60)
-        assert np.abs(self._run(50) - self._run(60)).max() > 1e-8
+    def test_no_respacing_unchanged(self):
+        # with empty respacing internal == original; both semantics agree
+        a = self._run(50, respacing="")
+        b = self._run(50, respacing="")
+        np.testing.assert_array_equal(a, b)
