@@ -160,25 +160,13 @@ class RohmPipeline:
                 "'bf16', 'int8' or 'f32' (an unknown value would silently run "
                 "the plain flax path)"
             )
-        if self.mesh is not None and self.fused_posenet is not False:
-            # Mosaic custom calls have no GSPMD partitioning rule: under a
-            # sharded jit XLA would replicate the kernel's operands/compute on
-            # every chip instead of splitting the 'data' axis, silently
-            # defeating data parallelism. The multi-chip path is validated on
-            # the flax model only (tiny model, batch-sharded); fused kernels
-            # are the single-chip throughput configuration. A shard_map
-            # wrapper could lift this — needs real multi-chip hardware to
-            # validate.
-            try:
-                backend = jax.default_backend()
-            except Exception:
-                backend = "cpu"
-            if backend in ("tpu", "axon"):
-                raise ValueError(
-                    "fused_posenet with a multi-chip mesh is not supported on "
-                    "TPU backends (Pallas kernels do not auto-partition under "
-                    "GSPMD); use fused_posenet=False for mesh runs"
-                )
+        if self.mesh is not None and self.fused_posenet == "f32":
+            # the legacy f32 kernel path takes raw params, not a prepared
+            # tree; only the prepared bf16/int8 paths carry the shard_map
+            # wrapper (below) that Pallas needs under a mesh
+            raise ValueError(
+                "fused_posenet='f32' does not support a mesh; use 'bf16'/'int8'"
+            )
 
     def _ensure_prepared(self):
         """One-time cast/quantize of PoseNet params (outside the scan)."""
@@ -308,13 +296,35 @@ class RohmPipeline:
                 prep = weights["prep"]
                 cond_emb = embed_cond(prep, cond)
 
-                def pose_model_fn(x, tt, cond=cond, cond_emb=cond_emb):
+                def _apply_prepared(prep, x, cond, tt, cond_emb):
                     return posenet_apply_prepared(
                         prep, x, cond, tt,
                         num_heads=self.posenet.num_heads,
                         traj_feat_dim=self.posenet.traj_feat_dim,
                         cond_emb=cond_emb,
                     )
+
+                if self.mesh is not None:
+                    # Mosaic custom calls have no GSPMD partitioning rule —
+                    # under a sharded jit XLA would replicate the kernel on
+                    # every chip. shard_map runs the kernel per-shard on the
+                    # local batch instead: prep replicated, batch-leading
+                    # args split on 'data', timestep scalar replicated.
+                    from jax.sharding import PartitionSpec as P
+
+                    # check_vma=False: pallas_call's out_shape carries no
+                    # varying-mesh-axes annotation
+                    sharded_apply = jax.shard_map(
+                        _apply_prepared, mesh=self.mesh,
+                        in_specs=(P(), P("data"), P("data"), P(), P("data")),
+                        out_specs=P("data"), check_vma=False,
+                    )
+
+                    def pose_model_fn(x, tt, cond=cond, cond_emb=cond_emb):
+                        return sharded_apply(prep, x, cond, tt, cond_emb)
+                else:
+                    def pose_model_fn(x, tt, cond=cond, cond_emb=cond_emb):
+                        return _apply_prepared(prep, x, cond, tt, cond_emb)
             elif self.fused_posenet == "f32":
                 from rohm_tpu.ops import posenet_apply_fused
 
