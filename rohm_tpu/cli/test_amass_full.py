@@ -73,6 +73,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
+    p.add_argument("--data_parallel", type=bool, default=False)
     return p
 
 
@@ -227,7 +228,19 @@ def main(argv=None):
     params_posenet = _load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, args.clip_len)
     t0 = _phase("model_init", t0)
 
+    mesh = None
+    if args.data_parallel:
+        from rohm_tpu.parallel import data_parallel_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = data_parallel_mesh()
+            assert args.batch_size % mesh.size == 0, (
+                f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
+            )
+            print(f"[test_amass_full] data-parallel over {mesh.size} devices")
+
     pipeline = RohmPipeline(
+        mesh=mesh,
         trajnet=model_trajnet, trajnet_params=params_trajnet,
         trajcontrol=model_trajcontrol, trajcontrol_params=params_trajcontrol,
         posenet=model_posenet, posenet_params=params_posenet,

@@ -65,6 +65,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
+    p.add_argument("--data_parallel", type=bool, default=False)
     return p
 
 
@@ -106,7 +107,19 @@ def main(argv=None):
             params = load_pretrained(params, path)
         return params
 
+    mesh = None
+    if args.data_parallel:
+        from rohm_tpu.parallel import data_parallel_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = data_parallel_mesh()
+            assert args.batch_size % mesh.size == 0, (
+                f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
+            )
+            print(f"[test_prox_egobody] data-parallel over {mesh.size} devices")
+
     pipeline = RohmPipeline(
+        mesh=mesh,
         trajnet=model_trajnet,
         trajnet_params=load(model_trajnet, init_trajnet_params, args.model_path_trajnet),
         trajcontrol=model_trajcontrol,
@@ -132,7 +145,6 @@ def main(argv=None):
         "joints_input_scene_coord_list": [], "joints_gt_scene_coord_list": [],
         "motion_repr_rec_list": [], "motion_repr_noisy_list": [], "mask_joint_vis_list": [],
     }
-    frame_names = None
     key = jax.random.PRNGKey(args.seed)
 
     # jitted pickle decode (mean/std as args -> compilation-cache-stable);

@@ -120,3 +120,29 @@ def test_prox_egobody_cli_runs(tmp_path, monkeypatch):
     for k in ("rec_ric_data_noisy_list", "rec_ric_data_rec_list_from_abs_traj",
               "trans_scene2cano_list", "mask_joint_vis_list"):
         assert np.isfinite(np.asarray(saved[k], np.float64)).all(), k
+
+def test_amass_full_cli_data_parallel(tmp_path, monkeypatch):
+    """--data_parallel: the full driver runs the pipeline over the virtual
+    8-device mesh (batch sharded on 'data') and produces finite results."""
+    from rohm_tpu.cli import test_amass_full as cli
+
+    monkeypatch.chdir(tmp_path)
+    pkl_path = cli.main([
+        "--synthetic_data=True",
+        f"--dataset_root={tmp_path / 'amass'}",
+        "--clip_len=17",
+        "--batch_size=8",
+        "--diffusion_steps_posenet=8",
+        "--diffusion_steps_trajnet=5",
+        "--mid_dim=64",
+        "--latent_dim=32",
+        "--load_noise=False",
+        "--mask_scheme=lower",
+        "--data_parallel=True",
+        f"--save_root={tmp_path / 'results'}",
+        "--seed=0",
+    ])
+    with open(pkl_path, "rb") as f:
+        saved = pickle.load(f)
+    assert saved["rec_ric_data_rec_list_from_smpl"].shape == (3, 15, 22, 3)
+    assert np.isfinite(saved["motion_repr_rec_list"]).all()
