@@ -35,8 +35,10 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 def transformer_pe_table(max_len: int, d_model: int) -> np.ndarray:
     """Classic sin/cos interleaved positional table [max_len, d_model]."""
-    position = np.arange(max_len, dtype=np.float64)[:, None]
-    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model))
+    # float32 like the reference (heads.py:117-122): the f64 table differs by
+    # ~1e-4 in fast-frequency dims at large positions/timesteps
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * np.float32(-np.log(10000.0) / d_model))
     pe = np.zeros((max_len, d_model))
     pe[:, 0::2] = np.sin(position * div)
     pe[:, 1::2] = np.cos(position * div)
@@ -57,7 +59,9 @@ class Conv1dBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, dtype=jnp.float32)(x)
+        # epsilon matches torch nn.GroupNorm's default 1e-5 (flax defaults
+        # to 1e-6) so converted reference checkpoints reproduce exactly
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, dtype=jnp.float32)(x)
         return mish(x)
 
 
@@ -166,11 +170,12 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
         )(x, x)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        x = nn.LayerNorm(dtype=jnp.float32)(x + attn)
+        # epsilon 1e-5 = torch TransformerEncoderLayer's layer_norm_eps default
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x + attn)
 
         h = nn.Dense(self.ff_size, dtype=self.dtype)(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.LayerNorm(dtype=jnp.float32)(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x + h)

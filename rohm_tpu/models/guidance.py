@@ -21,9 +21,9 @@ from jax.lax import stop_gradient
 
 from rohm_tpu.body import SmplxModel
 from rohm_tpu.diffusion import GuidanceSpec
-from rohm_tpu.models.losses import FPS, FOOT_SKATING_VEL_THRESH
+from rohm_tpu.models.losses import foot_skating_loss
 from rohm_tpu.reprs import recover_from_repr, split_repr
-from rohm_tpu.reprs.schema import BODY_FEAT_DIM, FOOT_JOINT_INDEX, TRAJ_FEAT_DIM_FULL
+from rohm_tpu.reprs.schema import BODY_FEAT_DIM, TRAJ_FEAT_DIM_FULL
 
 # joints entering the 2-D reprojection loss (posenet.py:308)
 GUIDANCE_2D_JOINTS = np.array([16, 18, 20, 17, 19, 21, 4, 5, 7, 8])
@@ -43,15 +43,6 @@ def guidance_grad_mask(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(m, dtype)
 
 
-def _masked_skating(joints: jnp.ndarray, contact: jnp.ndarray) -> jnp.ndarray:
-    foot = joints[..., FOOT_JOINT_INDEX, :]
-    vel = jnp.linalg.norm((foot[..., 1:, :, :] - foot[..., :-1, :, :]) * FPS, axis=-1)
-    mask = stop_gradient(
-        (vel > FOOT_SKATING_VEL_THRESH).astype(vel.dtype) * contact[..., :-1, :]
-    )
-    return (vel * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-
-
 def skating_loss_fn(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray, body_model: SmplxModel) -> jnp.ndarray:
     """Foot-skating guidance loss on a normalized repr x [B, T, 294].
 
@@ -64,7 +55,7 @@ def skating_loss_fn(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray, body_mo
     contact = stop_gradient((dn[..., -4:] > 0.5).astype(x.dtype))
     j_abs = recover_from_repr(d, mode="joint_abs_traj")
     j_smpl = recover_from_repr(d, mode="smplx_params", body_model=body_model)
-    return _masked_skating(j_abs, contact) + _masked_skating(j_smpl, contact)
+    return foot_skating_loss(j_abs, contact) + foot_skating_loss(j_smpl, contact)
 
 
 def perspective_projection(

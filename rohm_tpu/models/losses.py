@@ -164,9 +164,13 @@ def foot_skating_loss(
     carries no gradient (reference posenet.py:154-179).
     """
     foot = joints[..., FOOT_JOINT_INDEX, :]
-    vel = jnp.linalg.norm(
-        (foot[..., 1:, :, :] - foot[..., :-1, :, :]) * FPS, axis=-1
-    )  # [..., T-1, 4]
+    disp = (foot[..., 1:, :, :] - foot[..., :-1, :, :]) * FPS
+    # grad-safe norm: d|v|/dv at v=0 is NaN in jax, and 0*NaN from the mask
+    # would poison the whole gradient (guidance/training); the double-where
+    # keeps both primal and gradient finite at exactly-zero displacement
+    sq = jnp.sum(disp * disp, axis=-1)
+    safe = jnp.where(sq > 0.0, sq, 1.0)
+    vel = jnp.where(sq > 0.0, jnp.sqrt(safe), 0.0)  # [..., T-1, 4]
     mask = (vel > FOOT_SKATING_VEL_THRESH).astype(vel.dtype) * contact_gt[..., :-1, :]
     mask = stop_gradient(mask)
     denom = jnp.maximum(mask.sum(), 1.0)

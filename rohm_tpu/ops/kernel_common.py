@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-LN_EPS = 1e-6
+LN_EPS = 1e-5  # torch layer_norm_eps default, matches the flax models
 
 
 def attention_bf16(q, k, v, g: int, s: int, num_heads: int) -> jnp.ndarray:

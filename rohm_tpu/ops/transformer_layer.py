@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LN_EPS = 1e-6  # flax LayerNorm default
+LN_EPS = 1e-5  # torch layer_norm_eps default, matches the flax models
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:

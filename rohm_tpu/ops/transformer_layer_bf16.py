@@ -30,7 +30,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rohm_tpu.ops.kernel_common import (
-    LN_EPS,
     attention_bf16,
     fuse_qkv,
     gelu_tanh,

@@ -56,7 +56,7 @@ def cano_seq_smplx(
     pos = positions.copy()
     r_hip, l_hip, sdr_r, sdr_l = _FACE_JOINTS
 
-    floor = preset_floor_height if preset_floor_height else pos.min(axis=(0, 1))[2]
+    floor = preset_floor_height if preset_floor_height is not None else pos.min(axis=(0, 1))[2]
     pos[:, :, 2] -= floor
 
     root_xy = pos[0, 0] * np.array([1.0, 1.0, 0.0])
@@ -95,7 +95,7 @@ def cano_seq_smplx_egobody(
     pos = positions.copy()
     r_hip, l_hip, sdr_r, sdr_l = _FACE_JOINTS
 
-    floor = preset_floor_height if preset_floor_height else pos.min(axis=(0, 1))[1]
+    floor = preset_floor_height if preset_floor_height is not None else pos.min(axis=(0, 1))[1]
     pos[:, :, 1] -= floor
 
     root_xz = pos[0, 0] * np.array([1.0, 0.0, 1.0])

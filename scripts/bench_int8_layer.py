@@ -17,8 +17,9 @@ from functools import partial
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rohm_tpu.ops.kernel_common import LN_EPS
 from rohm_tpu.ops.transformer_layer_int8 import (
-    LN_EPS, _dot_i8, _quant_rows, prepare_layer_int8,
+    _dot_i8, _quant_rows, prepare_layer_int8,
 )
 
 G, S, D, H, F = 8, 144, 512, 4, 1024

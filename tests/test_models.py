@@ -168,3 +168,15 @@ class TestGuidance:
         assert np.isfinite(np.asarray(g)).all()
         np.testing.assert_array_equal(np.asarray(g[..., :22]), 0.0)
         np.testing.assert_array_equal(np.asarray(g[..., -4:]), 0.0)
+
+    def test_skating_grad_finite_at_zero_velocity(self, body):
+        """d|v|/dv at v=0 is NaN in jax; the safe-norm in foot_skating_loss
+        must keep gradients finite when consecutive frames are bit-identical
+        (static feet, plausible under the quantized kernels)."""
+        from rohm_tpu.models.losses import foot_skating_loss
+
+        joints = jnp.tile(jnp.ones((1, 1, 22, 3)), (1, 8, 1, 1))  # frozen pose
+        contact = jnp.ones((1, 8, 4))
+        g = jax.grad(lambda j: foot_skating_loss(j, contact))(joints)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(foot_skating_loss(joints, contact)) == 0.0
