@@ -95,12 +95,21 @@ def evaluate_recording(saved_data: dict, dataset: str) -> dict:
 
     out = {}
     clip_len = rec_scene.shape[1]
+    # n_clips weights the cross-recording aggregation: the reference pools
+    # per-clip arrays over ALL recordings before one global mean
+    # (eval_prox_egobody.py:453-490), so a recording with more clips counts
+    # proportionally more — NOT a mean of per-recording means
+    out["n_clips"] = int(len(rec_scene))
     if dataset == "egobody":
         gt_scene = saved_data["joints_gt_scene_coord_list"][:, :clip_len]
         if ground is None:
             ground = float(gt_scene[..., up].min())
         mask = saved_data["mask_joint_vis_list"][:, :clip_len]
         out["mpjpe_set"] = egobody_mpjpe_set(gt_scene, rec_scene, mask)
+        # vis/occ pooled weights: the reference's final vis/occ numbers are
+        # global sum(l*mask)/sum(mask) over all recordings (:486-490)
+        out["vis_sum"] = float(mask.sum())
+        out["occ_sum"] = float((1 - mask).sum())
         acc = lambda j: (j[:, 2:] - 2 * j[:, 1:-1] + j[:, :-2]) * 900.0
         out["acc_error"] = float(np.linalg.norm(acc(rec_scene) - acc(gt_scene), axis=-1).mean())
     acc_rec = (rec_scene[:, 2:] - 2 * rec_scene[:, 1:-1] + rec_scene[:, :-2]) * 900.0
@@ -182,22 +191,40 @@ def main(argv=None):
 
     assert per_rec, "no result pickles found"
     agg = {}
+    # clip-count-weighted pooling == the reference's concatenate-then-mean
+    # over all recordings (eval_prox_egobody.py:453-490): every per-recording
+    # scalar is a mean over arrays with n_clips x (fixed per-clip size)
+    # elements, so pooled mean = sum(scalar * n_clips) / sum(n_clips)
+    w = np.array([m["n_clips"] for m in per_rec], np.float64)
+
+    def pooled(get):
+        return float(np.sum([get(m) * m["n_clips"] for m in per_rec]) / w.sum())
+
     print("\n --------------- evaluation metrics -------------")
-    agg["skating"] = float(np.mean([m["skating"] for m in per_rec]))
+    agg["skating"] = pooled(lambda m: m["skating"])
     print("skating score: {:0.3f}".format(agg["skating"]))
     if args.dataset == "prox":
-        agg["acc_mag"] = float(np.mean([m["acc_mag"] for m in per_rec]))
+        agg["acc_mag"] = pooled(lambda m: m["acc_mag"])
         print("||acc|| (m/s^2): {:0.2f}".format(agg["acc_mag"]))
     else:
-        agg["acc_error"] = float(np.mean([m["acc_error"] for m in per_rec]))
+        agg["acc_error"] = pooled(lambda m: m["acc_error"])
         print("acc errors (m/s^2): {:0.2f}".format(agg["acc_error"]))
-    agg["pene_freq"] = float(np.mean([m["pene_freq"] for m in per_rec]))
-    agg["pene_dist"] = float(np.mean([m["pene_dist"] for m in per_rec]))
+    agg["pene_freq"] = pooled(lambda m: m["pene_freq"])
+    agg["pene_dist"] = pooled(lambda m: m["pene_dist"])
     print("ground_pene_freq score (%): {:0.2f}".format(agg["pene_freq"] * 100))
     print("ground_pene_dist score (mm): {:0.2f}".format(-agg["pene_dist"] * 1000))
     if args.dataset == "egobody":
-        for k in ("gmpjpe", "mpjpe", "mpjpe_vis", "mpjpe_occ"):
-            agg[k] = float(np.mean([m["mpjpe_set"][k] for m in per_rec]))
+        for k in ("gmpjpe", "mpjpe"):
+            agg[k] = pooled(lambda m, k=k: m["mpjpe_set"][k])
+        # vis/occ: global weighted sums (reference :486-490)
+        vis_w = sum(m["vis_sum"] for m in per_rec)
+        occ_w = sum(m["occ_sum"] for m in per_rec)
+        agg["mpjpe_vis"] = float(
+            sum(m["mpjpe_set"]["mpjpe_vis"] * m["vis_sum"] for m in per_rec) / max(vis_w, 1.0)
+        )
+        agg["mpjpe_occ"] = float(
+            sum(m["mpjpe_set"]["mpjpe_occ"] * m["occ_sum"] for m in per_rec) / max(occ_w, 1.0)
+        )
         print("-------------- gmpjpe/mpjpe/mpjpe-vis/mpjpe-occ (mm) --------------")
         print("{:0.2f} / {:0.2f} / {:0.2f} / {:0.2f}".format(
             agg["gmpjpe"] * 1000, agg["mpjpe"] * 1000,

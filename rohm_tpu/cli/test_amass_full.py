@@ -313,12 +313,21 @@ def main(argv=None):
             traj_mask = (~inside).astype(np.float32)
             traj_cond = traj_cond * traj_mask[..., None]
 
-        pose_mask = amass_eval_pose_mask(
-            args.mask_scheme, bs, t_repr - 1,
-            window_start=np.full(bs, 65) if args.infill_traj else None,
-            window_len=mask_len if args.infill_traj else 30,
-            rng=None if args.infill_traj else rng,
-        )
+        if args.mask_scheme == "full" and not args.infill_traj:
+            # the reference redraws the random 30-frame window INSIDE each
+            # inference iteration (test_amass_full.py:360-368): one mask per
+            # iteration, stacked on a leading dim
+            pose_mask = np.stack([
+                amass_eval_pose_mask("full", bs, t_repr - 1, window_len=30, rng=rng)
+                for _ in range(args.sample_iter)
+            ])
+        else:
+            pose_mask = amass_eval_pose_mask(
+                args.mask_scheme, bs, t_repr - 1,
+                window_start=np.full(bs, 65) if args.infill_traj else None,
+                window_len=mask_len if args.infill_traj else 30,
+                rng=None if args.infill_traj else rng,
+            )
 
         t0 = _phase("batch_host_prep", t0)
         key, sub = jax.random.split(key)

@@ -167,8 +167,10 @@ def trajnet_root_errors(
     out["root_jitter_rec"] = jitter(root_rec)
     out["root_jitter_gt"] = jitter(root_clean)
     if rot_angle_clean is not None:
-        # repr stores the half-angle (arctan2 trick); x2 for the full heading
+        # repr stores the half-angle (arctan2 trick); x2 for the full heading.
+        # NO 360-deg wrap-around: the reference reports the raw absolute
+        # difference (test_trajnet.py:233,339), so +179 vs -179 deg counts as
+        # 358, not 2 — keep that definition for parity
         d = np.rad2deg(np.abs(rot_angle_clean - rot_angle_rec)) * 2
-        d = np.minimum(d, 360 - d)
         out["root_rot_err_deg"] = float(d.mean())
     return out

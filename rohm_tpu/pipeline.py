@@ -30,7 +30,7 @@ from rohm_tpu.models.guidance import amass_guidance
 from rohm_tpu.models.losses import merge_traj_output
 from rohm_tpu.reprs import get_repr, split_repr
 from rohm_tpu.reprs.schema import TRAJ_FEAT_DIM_FULL
-from rohm_tpu.train.masking import joint_mask_to_vec, lower_body_mask, upper_body_mask
+from rohm_tpu.train.masking import UPPER_BODY_JOINTS, joint_mask_to_vec, lower_body_mask
 
 
 def traj_to_pose_bridge(
@@ -96,7 +96,7 @@ def amass_eval_pose_mask(
         vis = np.broadcast_to(vis[:, None, :], (batch_size, clip_len, vis.shape[-1])).copy()
     elif mask_scheme == "upper":
         masked = np.zeros((batch_size, 22), bool)
-        masked[:, [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20]] = True
+        masked[:, UPPER_BODY_JOINTS] = True
         vis = joint_mask_to_vec(masked)
         vis = np.broadcast_to(vis[:, None, :], (batch_size, clip_len, vis.shape[-1])).copy()
     elif mask_scheme == "full":
@@ -288,7 +288,11 @@ class RohmPipeline:
                 cond = jnp.concatenate([traj_rec_full, cond[..., TRAJ_FEAT_DIM_FULL:]], axis=-1)
             mask_iter_num = self.sample_iter if self.iter2_cond_noisy_pose else 1
             if iter_idx < mask_iter_num:
-                cond = cond * pose_mask
+                # pose_mask carries one mask PER ITERATION ([I, B, T, 294]):
+                # the reference redraws the random 30-frame full-body window
+                # inside each iteration (test_amass_full.py:360-368), so
+                # iteration 2 hides a different window than iteration 1
+                cond = cond * pose_mask[iter_idx]
 
             if self.fused_posenet in (True, "bf16", "int8"):
                 from rohm_tpu.ops import embed_cond, posenet_apply_prepared
@@ -357,20 +361,25 @@ class RohmPipeline:
 
                 data = NamedSharding(self.mesh, P("data"))
                 rep = NamedSharding(self.mesh, P())
+                # pose_mask is [sample_iter, B, T, 294]: batch on axis 1
+                mask_sh = NamedSharding(self.mesh, P(None, "data"))
                 object.__setattr__(
                     self,
                     "_jitted",
                     jax.jit(
                         self._run,
-                        in_shardings=(rep, data, data, data, data, data, rep, rep),
+                        in_shardings=(rep, data, data, data, mask_sh, data, rep, rep),
                         out_shardings=(data, data),
                     ),
                 )
             else:
                 object.__setattr__(self, "_jitted", jax.jit(self._run))
         gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
+        pm = jnp.asarray(pose_mask)
+        if pm.ndim == 3:  # one mask for every iteration
+            pm = jnp.broadcast_to(pm[None], (self.sample_iter,) + pm.shape)
         return self._jitted(
             self._weights(),
             jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
-            jnp.asarray(pose_mask), jnp.asarray(traj_mask), key, gd,
+            pm, jnp.asarray(traj_mask), key, gd,
         )

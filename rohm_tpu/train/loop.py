@@ -46,7 +46,41 @@ def _log_losses(writer, logger_, tag, losses, step, epoch):
         logger_.info(msg)
 
 
-class TrainLoopTrajNet:
+class _CheckpointMixin:
+    """Shared save/restore for both train loops (identical semantics)."""
+
+    def save(self):
+        save_checkpoint(
+            self.logdir, self.step, self.state.params,
+            opt_state=self.state.opt_state if self.save_optimizer else None,
+        )
+        self.logger.info("[*] model saved")
+
+    def restore(self, ckpt_path: str):
+        """Resume params (+ optimizer state when present) from an orbax dir;
+        step resumes from the checkpoint's name."""
+        import os
+        import re
+
+        from rohm_tpu.train.checkpoint import load_checkpoint
+
+        like = {"params": self.state.params, "opt_state": self.state.opt_state}
+        try:
+            restored = load_checkpoint(ckpt_path, like)
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"]
+            )
+            self.logger.info("restored params + optimizer state from %s", ckpt_path)
+        except Exception:
+            restored = load_checkpoint(ckpt_path, {"params": self.state.params})
+            self.state = self.state.replace(params=restored["params"])
+            self.logger.info("restored params (no optimizer state) from %s", ckpt_path)
+        m = re.search(r"model(\d+)$", os.path.basename(ckpt_path.rstrip("/")))
+        if m:
+            self.step = int(m.group(1))
+
+
+class TrainLoopTrajNet(_CheckpointMixin):
     """Reference train/training_loop_trajnet.py:16-153."""
 
     def __init__(
@@ -155,38 +189,9 @@ class TrainLoopTrajNet:
         if agg:
             _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
-    def save(self):
-        save_checkpoint(
-            self.logdir, self.step, self.state.params,
-            opt_state=self.state.opt_state if self.save_optimizer else None,
-        )
-        self.logger.info("[*] model saved")
-
-    def restore(self, ckpt_path: str):
-        """Resume params (+ optimizer state when present) from an orbax dir;
-        step resumes from the checkpoint's name."""
-        import os
-        import re
-
-        from rohm_tpu.train.checkpoint import load_checkpoint
-
-        like = {"params": self.state.params, "opt_state": self.state.opt_state}
-        try:
-            restored = load_checkpoint(ckpt_path, like)
-            self.state = self.state.replace(
-                params=restored["params"], opt_state=restored["opt_state"]
-            )
-            self.logger.info("restored params + optimizer state from %s", ckpt_path)
-        except Exception:
-            restored = load_checkpoint(ckpt_path, {"params": self.state.params})
-            self.state = self.state.replace(params=restored["params"])
-            self.logger.info("restored params (no optimizer state) from %s", ckpt_path)
-        m = re.search(r"model(\d+)$", os.path.basename(ckpt_path.rstrip("/")))
-        if m:
-            self.step = int(m.group(1))
 
 
-class TrainLoopPoseNet:
+class TrainLoopPoseNet(_CheckpointMixin):
     """Reference train/training_loop_posenet.py:15-303."""
 
     def __init__(
@@ -303,32 +308,3 @@ class TrainLoopPoseNet:
         if agg:
             _log_losses(self.writer, self.logger, "eval", {k: v / n for k, v in agg.items()}, self.step, epoch)
 
-    def save(self):
-        save_checkpoint(
-            self.logdir, self.step, self.state.params,
-            opt_state=self.state.opt_state if self.save_optimizer else None,
-        )
-        self.logger.info("[*] model saved")
-
-    def restore(self, ckpt_path: str):
-        """Resume params (+ optimizer state when present) from an orbax dir;
-        step resumes from the checkpoint's name."""
-        import os
-        import re
-
-        from rohm_tpu.train.checkpoint import load_checkpoint
-
-        like = {"params": self.state.params, "opt_state": self.state.opt_state}
-        try:
-            restored = load_checkpoint(ckpt_path, like)
-            self.state = self.state.replace(
-                params=restored["params"], opt_state=restored["opt_state"]
-            )
-            self.logger.info("restored params + optimizer state from %s", ckpt_path)
-        except Exception:
-            restored = load_checkpoint(ckpt_path, {"params": self.state.params})
-            self.state = self.state.replace(params=restored["params"])
-            self.logger.info("restored params (no optimizer state) from %s", ckpt_path)
-        m = re.search(r"model(\d+)$", os.path.basename(ckpt_path.rstrip("/")))
-        if m:
-            self.step = int(m.group(1))
