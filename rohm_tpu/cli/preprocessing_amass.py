@@ -47,6 +47,10 @@ def downsample_stride(dataset_name: str, fps: float, target_fps: int = 30):
     fps that is an exact integer multiple of 30 or the sequence is skipped.
     """
     if dataset_name == "SSM":
+        # SSM's fractional metadata fps only maps onto the 30-fps pipeline;
+        # the reference hardcodes these strides (preprocessing_amass.py:31-37)
+        if target_fps != 30:
+            return None
         return 2 if fps - 60 < 1 else 4
     stride = int(fps / target_fps)
     if stride != fps / target_fps:
@@ -162,8 +166,11 @@ def main(argv=None):
             joints, params = out
             seq_name = os.path.basename(os.path.dirname(path))
             npy_name = recording_name + ".npy"
-            jdir = os.path.join(args.save_root, "pose_data_fps_30", dataset_name, seq_name)
-            pdir = os.path.join(args.save_root, "smpl_data_fps_30", dataset_name, seq_name)
+            # output tree name carries the actual fps: downstream loaders
+            # locate data by "pose_data_fps_30", so a non-30 target must not
+            # silently masquerade as 30-fps data
+            jdir = os.path.join(args.save_root, f"pose_data_fps_{args.target_fps}", dataset_name, seq_name)
+            pdir = os.path.join(args.save_root, f"smpl_data_fps_{args.target_fps}", dataset_name, seq_name)
             os.makedirs(jdir, exist_ok=True)
             os.makedirs(pdir, exist_ok=True)
             np.save(os.path.join(jdir, npy_name), joints)

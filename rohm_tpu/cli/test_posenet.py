@@ -44,9 +44,9 @@ def build_parser() -> ConfigParser:
     p.add_argument("--model_path", type=str, default="")
     p.add_argument("--input_noise", type=bool, default=True)
     p.add_argument("--noise_std_smplx_global_rot", type=float, default=3)
-    p.add_argument("--noise_std_smplx_body_rot", type=float, default=3)
-    p.add_argument("--noise_std_smplx_trans", type=float, default=0.03)
-    p.add_argument("--noise_std_smplx_betas", type=float, default=0.1)
+    p.add_argument("--noise_std_smplx_body_rot", type=float, default=2)
+    p.add_argument("--noise_std_smplx_trans", type=float, default=0.01)
+    p.add_argument("--noise_std_smplx_betas", type=float, default=0.2)
     p.add_argument("--load_noise", type=bool, default=False)
     p.add_argument("--load_noise_level", type=int, default=3)
     p.add_argument("--batch_size", type=int, default=32)

@@ -46,13 +46,13 @@ def build_parser() -> ConfigParser:
     p.add_argument("--trajcontrol", type=bool, default=False)
     p.add_argument("--model_path", type=str, default="")
     p.add_argument("--input_noise", type=bool, default=True)
-    p.add_argument("--noise_std_smplx_global_rot", type=float, default=3)
-    p.add_argument("--noise_std_smplx_body_rot", type=float, default=3)
-    p.add_argument("--noise_std_smplx_trans", type=float, default=0.03)
+    p.add_argument("--noise_std_smplx_global_rot", type=float, default=1)
+    p.add_argument("--noise_std_smplx_body_rot", type=float, default=1)
+    p.add_argument("--noise_std_smplx_trans", type=float, default=0.01)
     p.add_argument("--noise_std_smplx_betas", type=float, default=0.1)
     p.add_argument("--load_noise", type=bool, default=False)
     p.add_argument("--load_noise_level", type=int, default=3)
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--infill_traj", type=bool, default=False)
     p.add_argument("--max_infill_ratio", type=float, default=0.1)
     p.add_argument("--visualize", type=bool, default=False)

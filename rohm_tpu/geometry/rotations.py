@@ -259,7 +259,7 @@ _AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
 
 
 def qeuler(
-    q: jnp.ndarray, order: str = "zyx", eps: float = 0.0, deg: bool = False
+    q: jnp.ndarray, order: str = "zyx", eps: float = 0.0, deg: bool = True
 ) -> jnp.ndarray:
     """Quaternion (w, x, y, z) -> intrinsic Tait-Bryan Euler angles.
 
@@ -301,7 +301,14 @@ def qfix(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def qslerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
-    """Spherical interpolation between unit quaternions (shortest arc)."""
+    """Spherical interpolation between unit quaternions (shortest arc).
+
+    DELIBERATE deviation from the reference `qslerp`
+    (data_loaders/common/quaternion.py:367-382, which has zero callers in the
+    reference): that version interpolates the raw qpow arc (long way round
+    when dot(q0, q1) < 0) and returns t.shape + q0.shape; this one takes the
+    standard shortest arc with a lerp fallback near theta=0 and broadcasts
+    elementwise."""
     t = jnp.asarray(t)
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = jnp.where(dot < 0, -q1, q1)
@@ -336,4 +343,9 @@ def euler_to_quat(e: jnp.ndarray, order: str = "zyx") -> jnp.ndarray:
     for ax in order:
         r = axis_quat(e[..., _AXIS_INDEX[ax]], ax)
         q = r if q is None else qmul(q, r)
+    # reference flips the antipodal representation for these orders
+    # (quaternion.py:264-266) — same rotation, negated components; keep it so
+    # raw quaternion values (and sign-sensitive consumers like qfix) match
+    if order in ("xyz", "yzx", "zxy"):
+        q = -q
     return q

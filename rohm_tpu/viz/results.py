@@ -29,7 +29,7 @@ def animate_skeletons(sequences: list, colors: list, contact=None, fps: int = 30
         vis.clear_geometries()
         for i, (seq, color) in enumerate(zip(sequences, colors)):
             off = np.array([spacing * i, 0.0, 0.0])
-            for g in vis_skeleton(seq[t], LIMBS_BODY_SMPL, add_trans=off, color_vis=color):
+            for g in vis_skeleton(seq[t], LIMBS_BODY_SMPL, add_trans=off, color=color):
                 vis.add_geometry(g)
             if contact is not None and i == len(sequences) - 1:
                 for g in vis_foot_contact(seq[t], contact[t], add_trans=off):
@@ -175,10 +175,10 @@ def visualize_amass_results(saved_data: dict, render: bool = False,
         vis.create_window()
         for t in range(clean.shape[1]):
             vis.clear_geometries()
-            for g in vis_skeleton(clean[idx, t], LIMBS_BODY_SMPL, color_vis=COLOR_GT):
+            for g in vis_skeleton(clean[idx, t], LIMBS_BODY_SMPL, color=COLOR_GT):
                 vis.add_geometry(g)
             for g in vis_skeleton(rec[idx, t], LIMBS_BODY_SMPL, add_trans=np.array([1.5, 0, 0]),
-                                  color_vis=COLOR_VIS):
+                                  color=COLOR_VIS):
                 vis.add_geometry(g)
             for g in vis_foot_contact(rec[idx, t], contact[idx, t], add_trans=np.array([1.5, 0, 0])):
                 vis.add_geometry(g)

@@ -49,8 +49,12 @@ def _rotation_from_z(direction: np.ndarray) -> np.ndarray:
 
 def vis_skeleton(joints, limbs=LIMBS_BODY_SMPL, add_trans=None, mask_scheme=None,
                  cur_mask_joint_id=None, start=0, end=0, t=0,
-                 color_occ=COLOR_OCC, color_vis=COLOR_VIS):
-    """Bone arrows colored by visibility/occlusion (vis_util.py:11-56)."""
+                 color_occ=COLOR_OCC, color_vis=COLOR_VIS, color=None):
+    """Bone arrows colored by visibility/occlusion (vis_util.py:11-56).
+
+    `color` overrides the uniform color when mask_scheme is None (the
+    reference drivers paint GT/noisy/rec skeletons red/green/blue,
+    test_trajnet.py:271-298)."""
     o3d = _require_open3d()
     out = []
     for a, b in limbs:
@@ -64,7 +68,7 @@ def vis_skeleton(joints, limbs=LIMBS_BODY_SMPL, add_trans=None, mask_scheme=None
         tf[:3, 3] = joints[a] + (add_trans if add_trans is not None else 0.0)
         arrow.transform(tf)
         if mask_scheme is None:
-            arrow.paint_uniform_color(COLOR_GT)
+            arrow.paint_uniform_color(COLOR_GT if color is None else color)
         elif mask_scheme in ("lower", "upper", "video"):
             occluded = a in cur_mask_joint_id or b in cur_mask_joint_id
             arrow.paint_uniform_color(color_occ if occluded else color_vis)

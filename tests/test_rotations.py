@@ -176,7 +176,7 @@ class TestQuatExtras:
         r = R.from_rotvec(rotvec)
         q_xyzw = r.as_quat()
         q = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, :3]], axis=-1)  # wxyz
-        ours = np.asarray(qeuler(jnp.asarray(q), "xyz"))
+        ours = np.asarray(qeuler(jnp.asarray(q), "xyz", deg=False))
         # scipy intrinsic XYZ
         ref = r.as_euler("XYZ")
         np.testing.assert_allclose(ours, ref, atol=1e-5)
@@ -215,7 +215,7 @@ class TestQuatExtras:
         rng = np.random.default_rng(1)
         e = rng.uniform(-1.0, 1.0, size=(20, 3))
         q = euler_to_quat(jnp.asarray(e), "xyz")
-        back = np.asarray(qeuler(q, "xyz"))
+        back = np.asarray(qeuler(q, "xyz", deg=False))
         np.testing.assert_allclose(back, e, atol=1e-5)
 
     @pytest.mark.parametrize("order", ["xyz", "yzx", "zxy", "xzy", "yxz", "zyx"])
@@ -236,7 +236,7 @@ class TestQuatExtras:
         rng = np.random.default_rng(7)
         q = rng.normal(size=(128, 4))
         q = q / np.linalg.norm(q, axis=-1, keepdims=True)
-        ours_rad = np.asarray(qeuler(jnp.asarray(q, dtype=jnp.float32), order))
+        ours_rad = np.asarray(qeuler(jnp.asarray(q, dtype=jnp.float32), order, deg=False))
         ours_deg = np.asarray(qeuler(jnp.asarray(q, dtype=jnp.float32), order, deg=True))
         qt = torch.from_numpy(q).double()
         ref_rad = ref_qeuler(qt, order, deg=False).numpy()
@@ -251,5 +251,5 @@ class TestQuatExtras:
         rng = np.random.default_rng(2)
         e = rng.uniform(-1.0, 1.0, size=(20, 3))
         q = euler_to_quat(jnp.asarray(e), order)
-        back = np.asarray(qeuler(q, order))
+        back = np.asarray(qeuler(q, order, deg=False))
         np.testing.assert_allclose(back, e, atol=1e-5)
