@@ -60,6 +60,9 @@ def build_parser() -> ConfigParser:
     p.add_argument("--render_save_path", type=str, default="render_imgs")
     # extension: recording list override for synthetic-data runs
     p.add_argument("--recording_list", type=str, default="")
+    # beyond-parity extension: export each recording's windows stitched into
+    # one continuous scene-coord sequence (crossfaded overlap) as npz
+    p.add_argument("--stitch_save_dir", type=str, default="")
     return p
 
 
@@ -119,6 +122,33 @@ def evaluate_recording(saved_data: dict, dataset: str) -> dict:
     out["pene_freq"] = freq
     out["pene_dist"] = dist
     return out
+
+
+def stitch_recording(saved_data: dict, args) -> str:
+    """Crossfade the recording's overlapping windows into one continuous
+    scene-coordinate sequence and save <stitch_save_dir>/<recording>.npz
+    with 'joints_rec' / 'joints_input' [T_total, 22, 3] (extension; the
+    reference never recombines windows)."""
+    from rohm_tpu.evals.stitch import stitch_windows
+
+    rec_scene = _to_scene(
+        saved_data["rec_ric_data_rec_list_from_smpl"],
+        saved_data["trans_scene2cano_list"],
+    )
+    inp_scene = saved_data["joints_input_scene_coord_list"]
+    length = rec_scene.shape[1]
+    # input-frame stride between windows, recorded by test_prox_egobody
+    # (clip_len - window_size); legacy pickles fall back to no-overlap
+    stride = min(int(saved_data.get("window_stride", length)), length)
+    out_path = os.path.join(args.stitch_save_dir, f"{saved_data['recording_name']}.npz")
+    os.makedirs(args.stitch_save_dir, exist_ok=True)
+    np.savez(
+        out_path,
+        joints_rec=stitch_windows(rec_scene, stride),
+        joints_input=stitch_windows(inp_scene[:, :length], stride),
+    )
+    print(f"[eval_prox_egobody] stitched sequence -> {out_path}")
+    return out_path
 
 
 def visualize_recording(saved_data: dict, args) -> None:
@@ -184,6 +214,8 @@ def main(argv=None):
         with open(path, "rb") as f:
             saved = pickle.load(f)
         per_rec.append(evaluate_recording(saved, args.dataset))
+        if args.stitch_save_dir:
+            stitch_recording(saved, args)
         if args.visualize:
             visualize_recording(saved, args)
         if args.render:

@@ -230,6 +230,8 @@ def main(argv=None):
         # intrinsics so --render needs no dataset access
         "scene_name": getattr(test_pose_dataset, "scene_name", ""),
         "color_cam": getattr(test_pose_dataset, "color_cam", None),
+        # input-frame stride between consecutive windows (for stitching)
+        "window_stride": args.clip_len - args.window_size,
     }
     if args.dataset == "egobody":
         save_data["gender_gt"] = test_pose_dataset.gender_gt

@@ -128,3 +128,30 @@ class TestVizFlags:
     def test_flags_off_by_default(self, tmp_path, monkeypatch):
         calls, _ = self._run(tmp_path, monkeypatch, [])
         assert not calls["animate"] and not calls["render"]
+
+
+class TestStitch:
+    def test_stitch_save_dir_writes_continuous_npz(self, tmp_path):
+        saved = _synthetic_pickle()
+        saved["window_stride"] = T - 4  # 4-frame output overlap
+        rec_dir = tmp_path / "results"
+        os.makedirs(rec_dir)
+        with open(rec_dir / f"{saved['recording_name']}.pkl", "wb") as f:
+            pickle.dump(saved, f)
+        out = cli.main([
+            "--dataset=egobody",
+            f"--saved_data_dir={rec_dir}",
+            f"--recording_name={saved['recording_name']}",
+            f"--stitch_save_dir={tmp_path / 'stitched'}",
+        ])
+        assert np.isfinite(out["gmpjpe"])
+        z = np.load(tmp_path / "stitched" / f"{saved['recording_name']}.npz")
+        total = (T - 4) * (N_CLIP - 1) + T
+        assert z["joints_rec"].shape == (total, J, 3)
+        assert z["joints_input"].shape == (total, J, 3)
+        # non-overlapping head passes through untouched (identity transforms)
+        np.testing.assert_allclose(
+            z["joints_rec"][: T - 4],
+            saved["rec_ric_data_rec_list_from_smpl"][0, : T - 4],
+            atol=1e-12,
+        )
