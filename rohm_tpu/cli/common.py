@@ -142,8 +142,14 @@ def bootstrap_trajcontrol(params_control, params_backbone):
     return flax.traverse_util.unflatten_dict(out)
 
 
-def load_pretrained(params_like, path: str):
-    """Load an orbax checkpoint (or a torch->jax converted .npz) into params."""
+def load_pretrained(params_like, path: str, allow_partial: bool = False):
+    """Load an orbax checkpoint (or a torch->jax converted .npz) into params.
+
+    Strict by default, matching the reference's torch.load + load_state_dict
+    (train_trajnet.py:144-164, strict except the documented TrajControl
+    graft): a key expected by the model but absent from the .npz raises —
+    silently keeping random init for that leaf would produce garbage metrics
+    with rc=0. Unused file keys only warn (forward-compat)."""
     from rohm_tpu.train.checkpoint import load_params_into
 
     if path.endswith(".npz"):
@@ -151,8 +157,46 @@ def load_pretrained(params_like, path: str):
         import flax
 
         like_flat = flax.traverse_util.flatten_dict(params_like, sep="/")
+        missing = sorted(k for k in like_flat if k not in flat)
+        unused = sorted(k for k in flat if k not in like_flat)
+        if missing and not allow_partial:
+            raise KeyError(
+                f"checkpoint {path} is missing {len(missing)} parameter(s) the "
+                f"model expects (converter drift or wrong architecture flags): "
+                f"{missing[:8]}{'...' if len(missing) > 8 else ''}. "
+                "Pass allow_partial=True only for intentional partial loads."
+            )
+        if missing:
+            log.warning("partial load from %s: %d key(s) keep random init: %s",
+                        path, len(missing), missing[:8])
+        if unused:
+            log.warning("checkpoint %s has %d key(s) the model does not use: %s",
+                        path, len(unused), unused[:8])
         out = {}
         for k, v in like_flat.items():
             out[k] = flat[k] if k in flat else v
         return flax.traverse_util.unflatten_dict(out, sep="/")
     return load_params_into(params_like, path)
+
+
+def load_or_init(model, init_fn, path: str, clip_len: int, seed: int = 0,
+                 allow_missing: bool = False, name: str = "model"):
+    """Init params, then load `path` if given. A given-but-nonexistent path
+    RAISES (reference behavior: torch.load fails loudly on a typo'd
+    --model_path); an empty path means intentional random init (synthetic /
+    smoke runs). `allow_missing` downgrades the raise to a loud warning."""
+    params = init_fn(model, clip_len, seed)
+    if not path:
+        return params
+    if not os.path.exists(path):
+        if allow_missing:
+            log.warning(
+                "%s checkpoint %s not found — proceeding with RANDOM-INIT "
+                "weights (allow_missing_ckpt=True)", name, path,
+            )
+            return params
+        raise FileNotFoundError(
+            f"{name} checkpoint not found: {path!r}. Fix the path, or pass "
+            "--allow_missing_ckpt=True to run with random-init weights."
+        )
+    return load_pretrained(params, path)

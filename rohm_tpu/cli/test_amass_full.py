@@ -21,7 +21,7 @@ from rohm_tpu.cli.common import (
     build_trajnet,
     init_posenet_params,
     init_trajnet_params,
-    load_pretrained,
+    load_or_init,
     resolve_body_model,
 )
 from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
@@ -74,14 +74,8 @@ def build_parser() -> ConfigParser:
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
     p.add_argument("--data_parallel", type=bool, default=False)
+    p.add_argument("--allow_missing_ckpt", type=bool, default=False)
     return p
-
-
-def _load_or_init(model, init_fn, path, clip_len, seed=0):
-    params = init_fn(model, clip_len, seed)
-    if path and os.path.exists(path):
-        params = load_pretrained(params, path)
-    return params
 
 
 def decode_joints(repr_dn: np.ndarray, body, mode: str, return_verts: bool = False):
@@ -223,9 +217,10 @@ def main(argv=None):
     model_trajnet = build_trajnet(args, traj_feat_dim, False)
     model_trajcontrol = build_trajnet(args, traj_feat_dim, True)
     model_posenet = build_posenet(args)
-    params_trajnet = _load_or_init(model_trajnet, init_trajnet_params, args.model_path_trajnet, args.clip_len)
-    params_trajcontrol = _load_or_init(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, args.clip_len)
-    params_posenet = _load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, args.clip_len)
+    lk = dict(clip_len=args.clip_len, allow_missing=args.allow_missing_ckpt)
+    params_trajnet = load_or_init(model_trajnet, init_trajnet_params, args.model_path_trajnet, name="trajnet", **lk)
+    params_trajcontrol = load_or_init(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, name="trajcontrol", **lk)
+    params_posenet = load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, name="posenet", **lk)
     t0 = _phase("model_init", t0)
 
     mesh = None

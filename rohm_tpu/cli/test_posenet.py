@@ -17,7 +17,7 @@ from rohm_tpu.cli.common import (
     AMASS_TEST_DATASETS,
     build_posenet,
     init_posenet_params,
-    load_pretrained,
+    load_or_init,
     resolve_body_model,
 )
 from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
@@ -61,6 +61,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=bool, default=False)
+    p.add_argument("--allow_missing_ckpt", type=bool, default=False)
     return p
 
 
@@ -114,10 +115,9 @@ def main(argv=None):
     mean, std = test_dataset.mean, test_dataset.std
 
     model = build_posenet(args)
-    params = init_posenet_params(model, args.clip_len, args.seed)
-    if args.model_path and os.path.exists(args.model_path):
-        params = load_pretrained(params, args.model_path)
-        print(f"loaded checkpoint from {args.model_path}")
+    params = load_or_init(model, init_posenet_params, args.model_path, args.clip_len,
+                          args.seed, allow_missing=args.allow_missing_ckpt,
+                          name="posenet")
 
     sched = make_schedule(args.noise_schedule, args.diffusion_steps, args.timestep_respacing_eval)
     guidance = ()

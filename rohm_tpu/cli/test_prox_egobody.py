@@ -20,7 +20,7 @@ from rohm_tpu.cli.common import (
     build_trajnet,
     init_posenet_params,
     init_trajnet_params,
-    load_pretrained,
+    load_or_init,
     resolve_body_model,
 )
 from rohm_tpu.data.video import VideoClipDataset
@@ -66,6 +66,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
     p.add_argument("--data_parallel", type=bool, default=False)
+    p.add_argument("--allow_missing_ckpt", type=bool, default=False)
     return p
 
 
@@ -101,11 +102,9 @@ def main(argv=None):
     model_trajcontrol = build_trajnet(args, traj_feat_dim, True)
     model_posenet = build_posenet(args)
 
-    def load(model, init_fn, path):
-        params = init_fn(model, args.clip_len, args.seed)
-        if path and os.path.exists(path):
-            params = load_pretrained(params, path)
-        return params
+    def load(model, init_fn, path, name):
+        return load_or_init(model, init_fn, path, args.clip_len, args.seed,
+                            allow_missing=args.allow_missing_ckpt, name=name)
 
     mesh = None
     if args.data_parallel:
@@ -121,11 +120,11 @@ def main(argv=None):
     pipeline = RohmPipeline(
         mesh=mesh,
         trajnet=model_trajnet,
-        trajnet_params=load(model_trajnet, init_trajnet_params, args.model_path_trajnet),
+        trajnet_params=load(model_trajnet, init_trajnet_params, args.model_path_trajnet, "trajnet"),
         trajcontrol=model_trajcontrol,
-        trajcontrol_params=load(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control),
+        trajcontrol_params=load(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, "trajcontrol"),
         posenet=model_posenet,
-        posenet_params=load(model_posenet, init_posenet_params, args.model_path_posenet),
+        posenet_params=load(model_posenet, init_posenet_params, args.model_path_posenet, "posenet"),
         sched_traj=make_schedule(args.noise_schedule, args.diffusion_steps_trajnet, args.timestep_respacing_eval),
         sched_pose=make_schedule(args.noise_schedule, args.diffusion_steps_posenet, args.timestep_respacing_eval),
         body_model=body, mean=jnp.asarray(mean), std=jnp.asarray(std),

@@ -16,7 +16,7 @@ from rohm_tpu.cli.common import (
     AMASS_TEST_DATASETS,
     build_trajnet,
     init_trajnet_params,
-    load_pretrained,
+    load_or_init,
     resolve_body_model,
 )
 from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
@@ -60,6 +60,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--synthetic_data", type=bool, default=False)
     p.add_argument("--mid_dim", type=int, default=512)
     p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--allow_missing_ckpt", type=bool, default=False)
     return p
 
 
@@ -114,10 +115,9 @@ def main(argv=None):
     traj_feat_dim = test_dataset.traj_feat_dim
 
     model = build_trajnet(args, traj_feat_dim, args.trajcontrol)
-    params = init_trajnet_params(model, args.clip_len, args.seed)
-    if args.model_path and os.path.exists(args.model_path):
-        params = load_pretrained(params, args.model_path)
-        print(f"loaded checkpoint from {args.model_path}")
+    params = load_or_init(model, init_trajnet_params, args.model_path, args.clip_len,
+                          args.seed, allow_missing=args.allow_missing_ckpt,
+                          name="trajnet")
 
     sched = make_schedule(args.noise_schedule, args.diffusion_steps, args.timestep_respacing_eval)
     sampler = make_trajnet_sampler(model, sched, traj_feat_dim)

@@ -61,7 +61,6 @@ def _euler_noise_rotvec(rotvec: np.ndarray, noise_deg: np.ndarray) -> np.ndarray
 
 _JIT_CACHE: dict = {}
 _JIT_CACHE_MAX_MODELS = 8  # bound: each entry pins a model + compiled programs
-_FINGERPRINT_CACHE: dict = {}
 
 
 def _fk_jit(body_model, joints_num: int):
@@ -90,31 +89,39 @@ def model_fingerprint(body_model) -> str:
 
     Models stamped at construction (SmplxModel.fingerprint) return that hash
     directly; the leaf-hashing fallback pulls every array to the host, which
-    over a tunneled TPU can cost minutes — hence memoized per identity."""
+    over a tunneled TPU can cost minutes — so the computed hash is stamped
+    back onto the (frozen-dataclass) object itself. An id-keyed side table
+    would be unsafe here: it wouldn't keep the model alive, and a later model
+    allocated at a recycled id would silently inherit the stale hash."""
     import hashlib
 
     fp = getattr(body_model, "fingerprint", None)
     if fp is not None:
         return fp
-    k = id(body_model)
-    if k not in _FINGERPRINT_CACHE:
-        h = hashlib.sha1()
-        for leaf in jax.tree.leaves(body_model):
-            a = np.asarray(leaf)
-            h.update(str(a.shape).encode())
-            h.update(str(a.dtype).encode())
-            h.update(np.ascontiguousarray(a).tobytes())
-        if len(_FINGERPRINT_CACHE) >= _JIT_CACHE_MAX_MODELS:
-            _FINGERPRINT_CACHE.pop(next(iter(_FINGERPRINT_CACHE)))
-        _FINGERPRINT_CACHE[k] = h.hexdigest()[:16]
-    return _FINGERPRINT_CACHE[k]
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(body_model):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    fp = h.hexdigest()[:16]
+    try:
+        object.__setattr__(body_model, "fingerprint", fp)
+    except (AttributeError, TypeError):
+        pass  # non-dataclass pytree: recompute next call (correct, just slow)
+    return fp
 
 
 def _walk_fingerprint(h, root: str) -> None:
     """Feed path/size/mtime of every file under root into hash h, skipping
     cache dirs (a cache stored inside a fingerprinted tree must not invalidate
     itself by existing)."""
-    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+    # NOTE: the walk must stay lazy — wrapping os.walk in sorted() would
+    # materialize every level before the dirnames[:] prune runs, so cache
+    # dirs would still be descended into and a cache write would change the
+    # fingerprint of its own tree. Per-level sorted dirnames keeps traversal
+    # deterministic instead.
+    for dirpath, dirnames, filenames in os.walk(root):
         dirnames[:] = sorted(d for d in dirnames if d not in ("_repr_cache", "_stats_cache"))
         for fn in sorted(filenames):
             p = os.path.join(dirpath, fn)

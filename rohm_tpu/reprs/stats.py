@@ -62,9 +62,19 @@ def save_stats(logdir: str, mean: np.ndarray, std: np.ndarray, prefix: str = "AM
 
 def load_stats(logdir: str, prefix: str = "AMASS") -> tuple[np.ndarray, np.ndarray]:
     """Load stats saved by save_stats (or by the reference trainer)."""
-    with open(os.path.join(logdir, f"{prefix}_mean.pkl"), "rb") as f:
+    mean_p = os.path.join(logdir, f"{prefix}_mean.pkl")
+    std_p = os.path.join(logdir, f"{prefix}_std.pkl")
+    if not (os.path.exists(mean_p) and os.path.exists(std_p)):
+        raise FileNotFoundError(
+            f"normalization stats not found in {logdir!r} (expected "
+            f"{prefix}_mean.pkl / {prefix}_std.pkl). Stats travel WITH the "
+            "checkpoint: they are written into the train logdir and must sit "
+            "next to the model checkpoint at test time (reference "
+            "dataloader_amass.py:264-276)."
+        )
+    with open(mean_p, "rb") as f:
         mean_d = pickle.load(f)
-    with open(os.path.join(logdir, f"{prefix}_std.pkl"), "rb") as f:
+    with open(std_p, "rb") as f:
         std_d = pickle.load(f)
     mean = np.concatenate([np.asarray(mean_d[k], np.float32) for k in REPR_LIST], axis=-1)
     std = np.concatenate([np.asarray(std_d[k], np.float32) for k in REPR_LIST], axis=-1)

@@ -173,3 +173,68 @@ def test_video_disk_cache_keys_on_body_model(body, prox_tree, tmp_path):
     VideoClipDataset(body_model=body, **kw)
     VideoClipDataset(body_model=synthetic_model(num_verts=48), **kw)
     assert len(os.listdir(cache)) == 2
+
+
+def test_walk_fingerprint_ignores_cache_dirs(tmp_path):
+    """A cache file written INSIDE a fingerprinted tree must not change the
+    fingerprint (ADVICE r2: the sorted(os.walk()) variant materialized the
+    walk before the prune, so a run's own cache write re-keyed run 2)."""
+    import hashlib
+    import os
+
+    from rohm_tpu.data.amass import _walk_fingerprint
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "a.npy").write_bytes(b"data")
+
+    def fp():
+        h = hashlib.sha1()
+        _walk_fingerprint(h, str(root))
+        return h.hexdigest()
+
+    before = fp()
+    (root / "_repr_cache").mkdir()
+    (root / "_repr_cache" / "cache0.pkl").write_bytes(b"cached")
+    (root / "sub" / "_stats_cache").mkdir()
+    (root / "sub" / "_stats_cache" / "stats.pkl").write_bytes(b"s")
+    assert fp() == before
+    # but a real data change still re-keys
+    (root / "sub" / "b.npy").write_bytes(b"more")
+    assert fp() != before
+
+
+def test_video_disk_cache_hits_when_cache_inside_base_dir(body, prox_tree):
+    """test_prox_egobody puts disk_cache_dir inside dataset_root; run 2 must
+    HIT run 1's cache entry rather than accumulate a new pickle per run."""
+    import os
+
+    init_root, base_dir, logdir = prox_tree
+    cache = os.path.join(base_dir, "_repr_cache")
+    kw = dict(
+        body_model=body, dataset="prox", init_root=init_root, base_dir=base_dir,
+        recording_name="MPH11_00034_01", task="traj", repr_abs_only=True,
+        overlap_len=2, clip_len=CLIP_LEN, logdir=logdir, disk_cache_dir=cache,
+    )
+    VideoClipDataset(**kw)
+    assert len(os.listdir(cache)) == 1
+    VideoClipDataset(**kw)
+    assert len(os.listdir(cache)) == 1
+
+
+def test_model_fingerprint_stamps_unstamped_models():
+    """The leaf-hash fallback writes its result onto the model (frozen
+    dataclass) so a recycled id can never serve a stale hash (ADVICE r2)."""
+    from rohm_tpu.body import synthetic_model
+    from rohm_tpu.data.amass import model_fingerprint
+
+    m = synthetic_model(num_verts=32)
+    object.__setattr__(m, "fingerprint", None)  # simulate an unstamped model
+    fp1 = model_fingerprint(m)
+    assert m.fingerprint == fp1  # stamped back
+    m2 = synthetic_model(num_verts=32)
+    object.__setattr__(m2, "fingerprint", None)
+    assert model_fingerprint(m2) == fp1  # content-identical -> same hash
+    m3 = synthetic_model(num_verts=48)
+    object.__setattr__(m3, "fingerprint", None)
+    assert model_fingerprint(m3) != fp1
