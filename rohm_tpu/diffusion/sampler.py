@@ -52,6 +52,7 @@ def p_sample_loop(
     guidance: tuple[GuidanceSpec, ...] = (),
     early_stop_steps: int = 0,
     dtype=jnp.float32,
+    step_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the full reverse chain.
 
@@ -65,6 +66,10 @@ def p_sample_loop(
       early_stop_steps: truncate the chain this many steps before t=0 and
         return pred_x0 instead of the stochastic sample (reference
         early_stop=True -> 980 of 1000 steps, _posenet.py:624-626, :568-571).
+      step_noise: optional preset per-step noise [num_timesteps, *shape],
+        indexed by internal timestep t (deterministic replay: reproduce a
+        recorded chain exactly, or cross-check against another sampler
+        implementation fed the same noise).
 
     Returns: final sample [B, T, D] (or final pred_x0 when early stopping).
     """
@@ -122,8 +127,11 @@ def p_sample_loop(
             mean, var, log_var = p_mean_from_x0(sched, pred_x0, x, t)
             if active is not None:
                 mean = mean + guidance_shift(pred_x0, t, var, active)
-            step_key = jax.random.fold_in(key, t)
-            noise_t = jax.random.normal(step_key, shape, dtype)
+            if step_noise is not None:
+                noise_t = step_noise[t].astype(dtype)
+            else:
+                step_key = jax.random.fold_in(key, t)
+                noise_t = jax.random.normal(step_key, shape, dtype)
             nonzero = (t != 0).astype(dtype)
             x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise_t
             # carry (not stack) the newest pred_x0 — stacking 1000 steps of

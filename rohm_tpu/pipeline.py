@@ -226,9 +226,16 @@ class RohmPipeline:
         traj_mask: jnp.ndarray,  # [B, 144] 1 = visible (infill)
         key: jax.Array,
         guidance_data: dict,
+        preset_noise: dict,
     ):
         """The fused pipeline. Returns (posenet output [B,143,294],
-        traj output [B,144,traj_feat_dim])."""
+        traj output [B,144,traj_feat_dim]).
+
+        preset_noise ({} = sample from `key`): deterministic replay /
+        cross-implementation parity. Keys (I = sample_iter, S = chain steps):
+          traj_init [I,B,144,tf], traj_step [I,S_traj,B,144,tf],
+          pose_init [I,B,143,294], pose_step [I,S_pose,B,143,294].
+        """
         mean, std = weights["mean"], weights["std"]
         guidance = self._guidance(guidance_data, mean, std)
         early = self.early_stop_steps if self.early_stop else 0
@@ -240,12 +247,22 @@ class RohmPipeline:
         cur_traj_cond = traj_cond
         for iter_idx in range(self.sample_iter):
             key, k_traj, k_pose = jax.random.split(key, 3)
+            pn = {
+                k: v[iter_idx] for k, v in preset_noise.items()
+            } if preset_noise else {}
+            traj_noise_kw = (
+                {"noise": pn["traj_init"], "step_noise": pn["traj_step"]} if pn else {}
+            )
+            pose_noise_kw = (
+                {"noise": pn["pose_init"], "step_noise": pn["pose_step"]} if pn else {}
+            )
             if iter_idx == 0:
                 def model_fn(x, tt):
                     return self.trajnet.apply(weights["trajnet"], x, cur_traj_cond, tt)
 
                 val_output_traj = p_sample_loop(
-                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
+                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj,
+                    **traj_noise_kw,
                 )
             else:
                 if self.iter2_cond_noisy_traj and self.infill_traj:
@@ -268,7 +285,8 @@ class RohmPipeline:
                     )
 
                 val_output_traj = p_sample_loop(
-                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj
+                    model_fn, self.sched_traj, (b, t_traj, self.traj_feat_dim), k_traj,
+                    **traj_noise_kw,
                 )
 
             traj_rec_full = traj_to_pose_bridge(
@@ -345,14 +363,15 @@ class RohmPipeline:
 
             val_output_pose = p_sample_loop(
                 pose_model_fn, self.sched_pose, (b, t_pose, cond.shape[-1]), k_pose,
-                guidance=guidance, early_stop_steps=early,
+                guidance=guidance, early_stop_steps=early, **pose_noise_kw,
             )
         return val_output_pose, val_output_traj
 
     def run_batch(self, traj_cond, traj_clean, pose_noisy, pose_mask, traj_mask, key,
-                  guidance_data: dict | None = None):
+                  guidance_data: dict | None = None, preset_noise: dict | None = None):
         """Jit-cached entry; all args device-ready arrays. guidance_data
         carries per-batch guidance inputs (cameras/keypoints for 'prox').
+        preset_noise (see _run) replays a fixed noise realization.
         With a mesh set, batch-leading args are split over the 'data' axis
         (params replicated) so eval scales across chips."""
         if self._jitted is None:
@@ -368,18 +387,19 @@ class RohmPipeline:
                     "_jitted",
                     jax.jit(
                         self._run,
-                        in_shardings=(rep, data, data, data, mask_sh, data, rep, rep),
+                        in_shardings=(rep, data, data, data, mask_sh, data, rep, rep, rep),
                         out_shardings=(data, data),
                     ),
                 )
             else:
                 object.__setattr__(self, "_jitted", jax.jit(self._run))
         gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
+        pn = {k: jnp.asarray(v) for k, v in (preset_noise or {}).items()}
         pm = jnp.asarray(pose_mask)
         if pm.ndim == 3:  # one mask for every iteration
             pm = jnp.broadcast_to(pm[None], (self.sample_iter,) + pm.shape)
         return self._jitted(
             self._weights(),
             jnp.asarray(traj_cond), jnp.asarray(traj_clean), jnp.asarray(pose_noisy),
-            pm, jnp.asarray(traj_mask), key, gd,
+            pm, jnp.asarray(traj_mask), key, gd, pn,
         )

@@ -237,3 +237,58 @@ class TestRespacedGuidanceThreshold:
         a = self._run(50, respacing="")
         b = self._run(50, respacing="")
         np.testing.assert_array_equal(a, b)
+
+
+class TestStepNoiseReplay:
+    """step_noise/noise presets must reproduce the key-driven chain exactly:
+    step_noise[t] is defined to equal the draw fold_in(key, t) would make, and
+    `noise` the fold_in(key, num_timesteps) init draw. This alignment is what
+    lets the torch-twin parity harness feed one noise realization to both the
+    JAX scan and the reference's python loop. Equality is allclose at f32-ulp
+    tolerance, not bitwise: the preset-noise program gathers from a constant
+    where the key path generates inline, so XLA fuses the two chains
+    differently (measured max |delta| ~2e-7 over a 12-step chain)."""
+
+    def _chain(self, guidance=()):
+        sched = make_schedule("cosine", 12)
+        shape = (2, 5, 7)
+        w = jnp.linspace(0.2, 0.8, 7)
+
+        def model_fn(x, t):
+            return x * w
+
+        return sched, shape, model_fn
+
+    @pytest.mark.parametrize("early_stop", [0, 3])
+    def test_replay_matches_key_path(self, early_stop):
+        sched, shape, model_fn = self._chain()
+        key = jax.random.PRNGKey(3)
+        want = p_sample_loop(model_fn, sched, shape, key, early_stop_steps=early_stop)
+
+        init = jax.random.normal(jax.random.fold_in(key, sched.num_timesteps), shape)
+        step = jnp.stack(
+            [jax.random.normal(jax.random.fold_in(key, t), shape)
+             for t in range(sched.num_timesteps)]
+        )
+        other_key = jax.random.PRNGKey(999)  # must be ignored entirely
+        got = p_sample_loop(
+            model_fn, sched, shape, other_key, noise=init, step_noise=step,
+            early_stop_steps=early_stop,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_replay_with_guidance(self):
+        sched, shape, model_fn = self._chain()
+        spec = GuidanceSpec(loss_fn=lambda x: (x**2).sum(), weight=2.0, t_threshold=5)
+        key = jax.random.PRNGKey(7)
+        want = p_sample_loop(model_fn, sched, shape, key, guidance=(spec,))
+        init = jax.random.normal(jax.random.fold_in(key, sched.num_timesteps), shape)
+        step = jnp.stack(
+            [jax.random.normal(jax.random.fold_in(key, t), shape)
+             for t in range(sched.num_timesteps)]
+        )
+        got = p_sample_loop(
+            model_fn, sched, shape, jax.random.PRNGKey(0), guidance=(spec,),
+            noise=init, step_noise=step,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
