@@ -79,6 +79,53 @@ def test_amass_full_cli_and_golden(tmp_path, monkeypatch):
         assert abs(metrics[k] - v) <= tol, f"{k}: {metrics[k]} vs golden {v}"
 
 
+def test_fused_modes_metric_budget(tmp_path, monkeypatch):
+    """VERDICT r2 #3: the fused Pallas PoseNet modes (bf16 accuracy mode, int8
+    throughput mode — the bench.py headline) must keep eval METRICS within the
+    1% parity budget of the flax path, not just a repr-space envelope.
+    Reference metric definitions: /root/reference/eval_amass_full.py:72-147.
+
+    Same seeded synthetic config for all three runs; only --fused_posenet
+    varies, so any metric delta is attributable to the kernel numerics."""
+    from rohm_tpu.cli import test_amass_full as cli
+    from rohm_tpu.cli.eval_amass_full import evaluate
+
+    monkeypatch.chdir(tmp_path)
+
+    def run(mode: str) -> dict:
+        pkl_path = cli.main([
+            "--synthetic_data=True",
+            f"--dataset_root={tmp_path / 'amass'}",
+            "--clip_len=17",
+            "--batch_size=4",
+            "--diffusion_steps_posenet=8",
+            "--diffusion_steps_trajnet=5",
+            "--mid_dim=64",
+            "--latent_dim=32",
+            "--load_noise=False",
+            "--mask_scheme=lower",
+            f"--fused_posenet={mode}",
+            f"--save_root={tmp_path / ('results_' + mode)}",
+            "--seed=0",
+        ])
+        with open(pkl_path, "rb") as f:
+            saved = pickle.load(f)
+        return {k: float(v) for k, v in evaluate(saved, saved["mask_scheme"]).items()}
+
+    base = run("false")
+    for mode in ("bf16", "int8"):
+        got = run(mode)
+        for k in ("mpjpe_from_smpl", "mpjpe_from_abs_traj", "accel_error_rec",
+                  "skating_ratio_rec", "contact_acc"):
+            if k not in base:
+                continue
+            # 1% of magnitude; absolute floors for mm-scale and ratio metrics
+            tol = max(abs(base[k]) * 0.01, 1.0 if "mpjpe" in k else 1e-2)
+            assert abs(got[k] - base[k]) <= tol, (
+                f"{mode}: metric {k} off budget: {got[k]} vs flax {base[k]}"
+            )
+
+
 def test_prox_egobody_cli_runs(tmp_path, monkeypatch):
     from rohm_tpu.body import synthetic_model
     from rohm_tpu.cli import test_prox_egobody as cli

@@ -130,6 +130,90 @@ class TestVizFlags:
         assert not calls["animate"] and not calls["render"]
 
 
+class TestAllModeAggregation:
+    """'all'-mode pooling oracle (reference eval_prox_egobody.py:453-490): the
+    reference concatenates every recording's per-clip arrays and takes ONE
+    global mean; this CLI pools per-recording scalars weighted by clip count
+    (and vis/occ sums). With same-scene recordings the two must agree exactly,
+    so build recordings with DIFFERENT clip counts, merge their clips into one
+    virtual recording, and require pooled == merged for every metric."""
+
+    def _pickle(self, name, n_clips, seed, vis_frac):
+        rng = np.random.default_rng(seed)
+        rec = rng.normal(scale=0.05, size=(n_clips, T, J, 3)) + np.array([0.0, 0.5, 0.0])
+        gt = rec + rng.normal(scale=0.02, size=rec.shape)
+        mask = (rng.uniform(size=(n_clips, T, J)) < vis_frac).astype(np.float64)
+        return {
+            "recording_name": name,
+            "scene_name": SCENE,
+            "trans_scene2cano_list": np.tile(np.eye(4), (n_clips, 1, 1)),
+            "rec_ric_data_rec_list_from_smpl": rec,
+            "joints_gt_scene_coord_list": gt,
+            "joints_input_scene_coord_list": gt.copy(),
+            "mask_joint_vis_list": mask,
+            "motion_repr_rec_list": rng.normal(size=(n_clips, T, 294)).astype(np.float32),
+        }
+
+    def test_pooled_equals_concatenate_then_mean(self, tmp_path, capsys):
+        recs = [
+            self._pickle("recording_20211004_S12_S20_01", 2, seed=1, vis_frac=0.9),
+            self._pickle("recording_20211004_S12_S20_02", 3, seed=2, vis_frac=0.4),
+        ]
+        for saved in recs:
+            with open(tmp_path / f"{saved['recording_name']}.pkl", "wb") as f:
+                pickle.dump(saved, f)
+
+        agg = cli.main([
+            "--dataset=egobody",
+            f"--saved_data_dir={tmp_path}",
+            "--recording_list="
+            + ",".join(r["recording_name"] for r in recs),
+        ])
+
+        # oracle: one virtual recording holding ALL 5 clips
+        merged = {
+            "recording_name": recs[0]["recording_name"],
+            "scene_name": SCENE,
+        }
+        for k in ("trans_scene2cano_list", "rec_ric_data_rec_list_from_smpl",
+                  "joints_gt_scene_coord_list", "joints_input_scene_coord_list",
+                  "mask_joint_vis_list", "motion_repr_rec_list"):
+            merged[k] = np.concatenate([r[k] for r in recs], axis=0)
+        oracle = cli.evaluate_recording(merged, "egobody")
+
+        assert agg["skating"] == pytest.approx(oracle["skating"], rel=1e-12)
+        assert agg["acc_error"] == pytest.approx(oracle["acc_error"], rel=1e-12)
+        assert agg["pene_freq"] == pytest.approx(oracle["pene_freq"], rel=1e-12)
+        assert agg["pene_dist"] == pytest.approx(oracle["pene_dist"], rel=1e-12)
+        for k in ("gmpjpe", "mpjpe", "mpjpe_vis", "mpjpe_occ"):
+            assert agg[k] == pytest.approx(oracle["mpjpe_set"][k], rel=1e-12), k
+
+        # the printout block mirrors the reference's final aggregation print
+        # (eval_prox_egobody.py:486-490): 4 mpjpe numbers in mm on one line
+        out = capsys.readouterr().out
+        assert "gmpjpe/mpjpe/mpjpe-vis/mpjpe-occ (mm)" in out
+        line = out.split("gmpjpe/mpjpe/mpjpe-vis/mpjpe-occ (mm)")[1].splitlines()[1]
+        nums = [float(x) for x in line.split(" / ")]
+        assert nums == pytest.approx(
+            [agg["gmpjpe"] * 1000, agg["mpjpe"] * 1000,
+             agg["mpjpe_vis"] * 1000, agg["mpjpe_occ"] * 1000], abs=5e-3)
+
+    def test_all_mode_uses_test_split_lists(self, tmp_path):
+        """recording_name='all' iterates the reference's fixed 19-recording
+        test split (eval_prox_egobody.py:56-69) — only pickles present on disk
+        are evaluated, missing ones warn-and-skip."""
+        saved = self._pickle(cli.EGOBODY_TEST_RECORDINGS[0], 2, seed=3, vis_frac=0.8)
+        with open(tmp_path / f"{saved['recording_name']}.pkl", "wb") as f:
+            pickle.dump(saved, f)
+        agg = cli.main([
+            "--dataset=egobody",
+            f"--saved_data_dir={tmp_path}",
+            "--recording_name=all",
+        ])
+        oracle = cli.evaluate_recording(saved, "egobody")
+        assert agg["gmpjpe"] == pytest.approx(oracle["mpjpe_set"]["gmpjpe"], rel=1e-12)
+
+
 class TestStitch:
     def test_stitch_save_dir_writes_continuous_npz(self, tmp_path):
         saved = _synthetic_pickle()

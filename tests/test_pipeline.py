@@ -320,3 +320,51 @@ def test_shard_map_fused_apply_matches_direct(body, datasets):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct), atol=2e-3)
     same = np.isclose(np.asarray(sharded), np.asarray(direct), atol=1e-6).mean()
     assert same > 0.98, f"only {same:.1%} of outputs bit-stable across groupings"
+
+
+@pytest.mark.production_shapes
+def test_production_train_step_on_mesh(body):
+    """PRODUCTION-shape data-parallel train step (VERDICT r2 #5): PoseNet
+    512d x 8L at T=143, bs=16 sharded over the 8-device mesh — the exact
+    shapes a v5e-8 training run would use, so sharding-induced layout/memory
+    surprises surface here. Opt-in (-m production_shapes): the fwd+bwd
+    compile costs ~6 min on a 1-core CPU host. The production-shape guided
+    pipeline + int8 shard_map runs in the driver's dryrun_multichip
+    (__graft_entry__._dryrun_production_shapes)."""
+    from rohm_tpu.data import AmassClipDataset, synthetic_amass_arrays
+    from rohm_tpu.parallel import data_parallel_mesh
+    from rohm_tpu.train import create_train_state, make_posenet_train_step
+
+    bs, clip_len = 16, 145
+    t_pose = clip_len - 2  # 143
+    clips = synthetic_amass_arrays(body, n_clips=2, clip_len=clip_len)
+    ds = AmassClipDataset(
+        body_model=body, split="train", clip_len=clip_len, input_noise=True,
+        noise_std_smplx_global_rot=3.0, noise_std_smplx_body_rot=3.0,
+        noise_std_smplx_trans=0.03, noise_std_smplx_betas=0.1,
+        task="pose", repr_abs_only=False, logdir=None, clips=clips,
+    )
+    model = PoseNet()  # flagship 512d x 8L x 4H
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, t_pose, 294)),
+        jnp.zeros((1, t_pose, 294)), jnp.zeros((1,), jnp.int32),
+    )
+    mesh = data_parallel_mesh()
+    state = create_train_state(params, lr=1e-4)
+    step = make_posenet_train_step(
+        model, make_schedule("cosine", 1000),
+        jnp.asarray(ds.mean), jnp.asarray(ds.std), body,
+        {"weight_loss_rec_repr_full_body": 1.0,
+         "weight_loss_joint_pos_global": 1.0},
+        mesh=mesh,
+    )
+    items = [ds[i % len(ds)] for i in range(bs)]
+    batch = {
+        "motion_repr_clean": np.stack(
+            [it["motion_repr_clean"][:t_pose] for it in items]),
+        "cond": np.stack([it["motion_repr_noisy"][:t_pose] for it in items]),
+    }
+    state, losses = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(1.0))
+    assert np.isfinite(float(losses["loss"]))
+    assert len(state.params["params"]["layer_0"]["Dense_0"]["kernel"]
+               .sharding.device_set) == 8
