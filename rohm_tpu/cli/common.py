@@ -179,6 +179,20 @@ def load_pretrained(params_like, path: str, allow_partial: bool = False):
     return load_params_into(params_like, path)
 
 
+def maybe_via_server(cmd: str, args, argv):
+    """--via_server relay: forward this CLI invocation (minus the flag) to the
+    resident server (rohm_tpu/serve). Returns (handled, result)."""
+    if not getattr(args, "via_server", False):
+        return False, None
+    import sys
+
+    from rohm_tpu.serve import run_cli
+    from rohm_tpu.utils.config import strip_flag
+
+    fwd = strip_flag(list(argv if argv is not None else sys.argv[1:]), "--via_server")
+    return True, run_cli(cmd, fwd)
+
+
 def load_or_init(model, init_fn, path: str, clip_len: int, seed: int = 0,
                  allow_missing: bool = False, name: str = "model"):
     """Init params, then load `path` if given. A given-but-nonexistent path

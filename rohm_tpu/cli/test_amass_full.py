@@ -22,6 +22,7 @@ from rohm_tpu.cli.common import (
     init_posenet_params,
     init_trajnet_params,
     load_or_init,
+    maybe_via_server,
     resolve_body_model,
 )
 from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
@@ -75,7 +76,29 @@ def build_parser() -> ConfigParser:
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
     p.add_argument("--data_parallel", type=bool, default=False)
     p.add_argument("--allow_missing_ckpt", type=bool, default=False)
+    p.add_argument("--via_server", type=bool, default=False)
     return p
+
+
+# Resident-server warm path: models + pipeline + pickle decoders survive
+# between main() calls in one process, keyed by every config field that
+# affects them (checkpoint mtimes included, so retraining invalidates).
+_WARM: dict = {}
+
+
+def _warm_key(args, stats_dir: str, body) -> tuple:
+    def _mtime(p):
+        return os.path.getmtime(p) if p and os.path.exists(p) else None
+
+    cfg = {
+        k: v for k, v in sorted(vars(args).items())
+        if k not in ("save_root", "max_batches", "via_server")
+    }
+    return (
+        tuple(cfg.items()), stats_dir,
+        _mtime(args.model_path_trajnet), _mtime(args.model_path_trajnet_control),
+        _mtime(args.model_path_posenet), getattr(body, "fingerprint", None),
+    )
 
 
 def decode_joints(repr_dn: np.ndarray, body, mode: str, return_verts: bool = False):
@@ -140,6 +163,9 @@ def main(argv=None):
         return time.perf_counter()
 
     args = build_parser().parse_args(argv)
+    handled, result = maybe_via_server("test_amass_full", args, argv)
+    if handled:
+        return result
     rng = np.random.default_rng(args.seed)
     t0 = time.perf_counter()
     body = resolve_body_model(args.body_model_path)
@@ -214,42 +240,51 @@ def main(argv=None):
     traj_feat_dim = test_traj_dataset.traj_feat_dim
     t0 = _phase("dataset_build", t0)
 
-    model_trajnet = build_trajnet(args, traj_feat_dim, False)
-    model_trajcontrol = build_trajnet(args, traj_feat_dim, True)
-    model_posenet = build_posenet(args)
-    lk = dict(clip_len=args.clip_len, allow_missing=args.allow_missing_ckpt)
-    params_trajnet = load_or_init(model_trajnet, init_trajnet_params, args.model_path_trajnet, name="trajnet", **lk)
-    params_trajcontrol = load_or_init(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, name="trajcontrol", **lk)
-    params_posenet = load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, name="posenet", **lk)
+    warm_key = _warm_key(args, stats_dir, body)
+    warm = _WARM.get(warm_key)
+    if warm is None:
+        model_trajnet = build_trajnet(args, traj_feat_dim, False)
+        model_trajcontrol = build_trajnet(args, traj_feat_dim, True)
+        model_posenet = build_posenet(args)
+        lk = dict(clip_len=args.clip_len, allow_missing=args.allow_missing_ckpt)
+        params_trajnet = load_or_init(model_trajnet, init_trajnet_params, args.model_path_trajnet, name="trajnet", **lk)
+        params_trajcontrol = load_or_init(model_trajcontrol, init_trajnet_params, args.model_path_trajnet_control, name="trajcontrol", **lk)
+        params_posenet = load_or_init(model_posenet, init_posenet_params, args.model_path_posenet, name="posenet", **lk)
+
+        mesh = None
+        if args.data_parallel:
+            from rohm_tpu.parallel import data_parallel_mesh
+
+            if len(jax.devices()) > 1:
+                mesh = data_parallel_mesh()
+                assert args.batch_size % mesh.size == 0, (
+                    f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
+                )
+                print(f"[test_amass_full] data-parallel over {mesh.size} devices")
+
+        pipeline = RohmPipeline(
+            mesh=mesh,
+            trajnet=model_trajnet, trajnet_params=params_trajnet,
+            trajcontrol=model_trajcontrol, trajcontrol_params=params_trajcontrol,
+            posenet=model_posenet, posenet_params=params_posenet,
+            sched_traj=make_schedule(args.noise_schedule, args.diffusion_steps_trajnet, args.timestep_respacing_eval),
+            sched_pose=make_schedule(args.noise_schedule, args.diffusion_steps_posenet, args.timestep_respacing_eval),
+            body_model=body, mean=jnp.asarray(mean), std=jnp.asarray(std),
+            repr_abs_only=args.repr_abs_only, traj_feat_dim=traj_feat_dim,
+            sample_iter=args.sample_iter, early_stop=args.early_stop,
+            grad_type="amass" if args.cond_fn_with_grad else None,
+            mask_scheme=args.mask_scheme, input_noise=args.input_noise,
+            iter2_cond_noisy_pose=args.iter2_cond_noisy_pose,
+            iter2_cond_noisy_traj=args.iter2_cond_noisy_traj,
+            fused_posenet=args.fused_posenet,
+        )
+        decoders = make_pickle_decoders(body, args.clip_len - 2)
+        _WARM.clear()  # keep at most one config's device buffers alive
+        _WARM[warm_key] = (pipeline, decoders)
+    else:
+        print("[test_amass_full] warm hit: reusing resident models + pipeline")
+        pipeline, decoders = warm
     t0 = _phase("model_init", t0)
-
-    mesh = None
-    if args.data_parallel:
-        from rohm_tpu.parallel import data_parallel_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = data_parallel_mesh()
-            assert args.batch_size % mesh.size == 0, (
-                f"batch_size {args.batch_size} must divide the {mesh.size}-device mesh"
-            )
-            print(f"[test_amass_full] data-parallel over {mesh.size} devices")
-
-    pipeline = RohmPipeline(
-        mesh=mesh,
-        trajnet=model_trajnet, trajnet_params=params_trajnet,
-        trajcontrol=model_trajcontrol, trajcontrol_params=params_trajcontrol,
-        posenet=model_posenet, posenet_params=params_posenet,
-        sched_traj=make_schedule(args.noise_schedule, args.diffusion_steps_trajnet, args.timestep_respacing_eval),
-        sched_pose=make_schedule(args.noise_schedule, args.diffusion_steps_posenet, args.timestep_respacing_eval),
-        body_model=body, mean=jnp.asarray(mean), std=jnp.asarray(std),
-        repr_abs_only=args.repr_abs_only, traj_feat_dim=traj_feat_dim,
-        sample_iter=args.sample_iter, early_stop=args.early_stop,
-        grad_type="amass" if args.cond_fn_with_grad else None,
-        mask_scheme=args.mask_scheme, input_noise=args.input_noise,
-        iter2_cond_noisy_pose=args.iter2_cond_noisy_pose,
-        iter2_cond_noisy_traj=args.iter2_cond_noisy_traj,
-        fused_posenet=args.fused_posenet,
-    )
 
     out = {
         "rec_ric_data_clean_list": [], "rec_ric_data_noisy_list": [],
@@ -260,7 +295,7 @@ def main(argv=None):
     t_repr = args.clip_len - 1  # 144
     mask_len = int(args.traj_mask_ratio * 145)
 
-    decode_rec, decode_noisy = make_pickle_decoders(body, t_repr - 1)
+    decode_rec, decode_noisy = decoders
     mean_d, std_d = jnp.asarray(mean), jnp.asarray(std)
 
     # Dispatch batches asynchronously (pipeline + jitted pickle-decode are

@@ -18,6 +18,7 @@ from rohm_tpu.cli.common import (
     build_posenet,
     init_posenet_params,
     load_or_init,
+    maybe_via_server,
     resolve_body_model,
 )
 from rohm_tpu.data import AmassClipDataset, load_noise_dict, write_synthetic_amass
@@ -62,6 +63,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--fused_posenet", type=bool, default=False)
     p.add_argument("--allow_missing_ckpt", type=bool, default=False)
+    p.add_argument("--via_server", type=bool, default=False)
     return p
 
 
@@ -70,6 +72,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    handled, result = maybe_via_server("test_posenet", args, argv)
+    if handled:
+        return result
     rng = np.random.default_rng(args.seed)
     body = resolve_body_model(args.body_model_path)
 

@@ -21,6 +21,7 @@ from rohm_tpu.cli.common import (
     init_posenet_params,
     init_trajnet_params,
     load_or_init,
+    maybe_via_server,
     resolve_body_model,
 )
 from rohm_tpu.data.video import VideoClipDataset
@@ -67,6 +68,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--fused_posenet", type=fused_mode, default=False)
     p.add_argument("--data_parallel", type=bool, default=False)
     p.add_argument("--allow_missing_ckpt", type=bool, default=False)
+    p.add_argument("--via_server", type=bool, default=False)
     return p
 
 
@@ -75,6 +77,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    handled, result = maybe_via_server("test_prox_egobody", args, argv)
+    if handled:
+        return result
     body = resolve_body_model(args.body_model_path)
 
     stats_dir = os.path.dirname(args.model_path_posenet) if args.model_path_posenet else None

@@ -1,0 +1,101 @@
+"""Client side of the resident server (import-light: never imports jax, so a
+client invocation that only relays a request stays <100 ms of python)."""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import time
+
+
+def _connect(socket_path: str, timeout: float = 5.0) -> socket.socket:
+    sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    sock.settimeout(timeout)
+    sock.connect(socket_path)
+    return sock
+
+
+def _request(msg: dict, socket_path: str, timeout: float):
+    from rohm_tpu.serve.protocol import recv_msg, send_msg
+
+    with _connect(socket_path, timeout) as sock:
+        send_msg(sock, msg)
+        sock.settimeout(timeout)
+        return recv_msg(sock)
+
+
+def server_alive(socket_path: str | None = None) -> bool:
+    from rohm_tpu.serve import DEFAULT_SOCKET
+
+    socket_path = socket_path or DEFAULT_SOCKET
+    if not os.path.exists(socket_path):
+        return False
+    try:
+        return bool(_request({"op": "ping"}, socket_path, 5.0).get("ok"))
+    except OSError:
+        return False
+
+
+def stop_server(socket_path: str | None = None) -> bool:
+    from rohm_tpu.serve import DEFAULT_SOCKET
+
+    socket_path = socket_path or DEFAULT_SOCKET
+    if not os.path.exists(socket_path):
+        return False
+    try:
+        return bool(_request({"op": "stop"}, socket_path, 10.0).get("ok"))
+    except OSError:
+        return False
+
+
+def ensure_server(
+    socket_path: str | None = None, start_timeout: float = 300.0,
+    idle_timeout: float = 600.0, log_path: str = "/tmp/rohm_tpu_server.log",
+) -> None:
+    """Ping the daemon; spawn a detached one if absent and wait until it
+    answers (the spawn pays jax/TPU init, up to minutes over a tunnel)."""
+    from rohm_tpu.serve import DEFAULT_SOCKET
+
+    socket_path = socket_path or DEFAULT_SOCKET
+    if server_alive(socket_path):
+        return
+    with open(log_path, "ab") as log:
+        subprocess.Popen(
+            [sys.executable, "-m", "rohm_tpu.serve",
+             f"--socket={socket_path}", f"--idle_timeout={idle_timeout}"],
+            stdout=log, stderr=log, start_new_session=True,
+            cwd=os.getcwd(),
+        )
+    deadline = time.monotonic() + start_timeout
+    while time.monotonic() < deadline:
+        if server_alive(socket_path):
+            return
+        time.sleep(1.0)
+    raise TimeoutError(
+        f"rohm_tpu server did not come up within {start_timeout:.0f}s "
+        f"(see {log_path})"
+    )
+
+
+def run_cli(cmd: str, argv: list[str], socket_path: str | None = None,
+            auto_start: bool = True, timeout: float = 3600.0):
+    """Run `rohm_tpu.cli.<cmd>.main(argv)` on the resident server; print its
+    stdout here and return its return value. Raises RuntimeError with the
+    server-side traceback on failure."""
+    from rohm_tpu.serve import DEFAULT_SOCKET
+
+    socket_path = socket_path or DEFAULT_SOCKET
+    if auto_start:
+        ensure_server(socket_path)
+    resp = _request(
+        {"op": "run", "cmd": cmd, "argv": list(argv), "cwd": os.getcwd()},
+        socket_path, timeout,
+    )
+    if resp.get("stdout"):
+        sys.stdout.write(resp["stdout"])
+        sys.stdout.flush()
+    if not resp.get("ok"):
+        raise RuntimeError(f"server-side {cmd} failed:\n{resp.get('error')}")
+    return resp.get("result")

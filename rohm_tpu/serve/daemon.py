@@ -1,0 +1,127 @@
+"""The resident-server daemon: accepts CLI requests over a unix socket and
+runs them in-process, so jit executables, loaded checkpoints, and the
+pipeline's compiled chains stay warm between runs.
+
+Request dicts: {"op": "run", "cmd": <cli name>, "argv": [...], "cwd": str}
+              {"op": "ping"} | {"op": "stop"}
+Response:     {"ok": bool, "result": ..., "stdout": str, "error": str|None}
+
+One request at a time (the device is serial anyway). Idle auto-exit releases
+the TPU: a tunneled chip is single-process, so a forgotten daemon must never
+starve training jobs or the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import io
+import os
+import socket
+import sys
+import time
+import traceback
+
+from rohm_tpu.serve import DEFAULT_SOCKET
+from rohm_tpu.serve.protocol import recv_msg, send_msg
+
+# inference + eval CLIs benefit from warm executables; the train CLIs are
+# long-running processes that amortize startup themselves
+ALLOWED_CMDS = (
+    "test_amass_full", "test_trajnet", "test_posenet", "test_prox_egobody",
+    "eval_amass_full", "eval_prox_egobody",
+)
+
+
+class _Tee(io.TextIOBase):
+    """Mirror CLI prints to the daemon log while capturing them for the client."""
+
+    def __init__(self, real):
+        self.real = real
+        self.buf = io.StringIO()
+
+    def write(self, s):
+        self.real.write(s)
+        self.buf.write(s)
+        return len(s)
+
+    def flush(self):
+        self.real.flush()
+
+
+def _handle_run(req: dict) -> dict:
+    cmd = req.get("cmd", "")
+    if cmd not in ALLOWED_CMDS:
+        return {"ok": False, "result": None, "stdout": "",
+                "error": f"unknown cmd {cmd!r}; allowed: {ALLOWED_CMDS}"}
+    cwd = req.get("cwd")
+    if cwd:
+        os.chdir(cwd)
+    mod = importlib.import_module(f"rohm_tpu.cli.{cmd}")
+    tee = _Tee(sys.stdout)
+    t0 = time.perf_counter()
+    try:
+        with contextlib.redirect_stdout(tee):
+            result = mod.main(req.get("argv", []))
+        err = None
+        ok = True
+    except BaseException:  # noqa: BLE001 — the daemon must survive any CLI failure
+        result, err, ok = None, traceback.format_exc(), False
+    print(f"[serve] {cmd} finished in {time.perf_counter() - t0:.1f}s ok={ok}",
+          flush=True)
+    return {"ok": ok, "result": result, "stdout": tee.buf.getvalue(), "error": err}
+
+
+def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> None:
+    """Run the daemon until `stop` or idle_timeout seconds without requests."""
+    # warm the backend before accepting: the first client's clock shouldn't
+    # include device discovery
+    from rohm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    print(f"[serve] backend={jax.default_backend()} devices={len(jax.devices())}",
+          flush=True)
+
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(socket_path)
+    os.chmod(socket_path, 0o700)
+    srv.listen(4)
+    srv.settimeout(5.0)
+    print(f"[serve] listening on {socket_path} (idle_timeout={idle_timeout:.0f}s)",
+          flush=True)
+    last_req = time.monotonic()
+    try:
+        while True:
+            if time.monotonic() - last_req > idle_timeout:
+                print("[serve] idle timeout — releasing the device", flush=True)
+                return
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                try:
+                    req = recv_msg(conn)
+                except Exception:
+                    continue
+                last_req = time.monotonic()
+                op = req.get("op")
+                if op == "ping":
+                    send_msg(conn, {"ok": True, "pid": os.getpid()})
+                elif op == "stop":
+                    send_msg(conn, {"ok": True})
+                    print("[serve] stop requested", flush=True)
+                    return
+                elif op == "run":
+                    send_msg(conn, _handle_run(req))
+                    last_req = time.monotonic()
+                else:
+                    send_msg(conn, {"ok": False, "error": f"bad op {op!r}"})
+    finally:
+        srv.close()
+        with contextlib.suppress(OSError):
+            os.unlink(socket_path)

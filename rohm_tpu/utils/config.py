@@ -34,6 +34,23 @@ def fused_mode(x):
     return str2bool(s)
 
 
+def strip_flag(argv: list[str], flag: str) -> list[str]:
+    """Remove `--flag`, `--flag=value`, and `--flag value` occurrences from an
+    argv list (used by --via_server to forward everything else verbatim)."""
+    out: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == flag or a.startswith(flag + "="):
+            if a == flag and i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                i += 1  # space-separated value
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    return out
+
+
 class ConfigParser:
     """argparse + YAML defaults. Precedence: CLI flag > YAML value > default."""
 
