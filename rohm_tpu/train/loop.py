@@ -49,6 +49,8 @@ def _log_losses(writer, logger_, tag, losses, step, epoch):
 class _CheckpointMixin:
     """Shared save/restore for both train loops (identical semantics)."""
 
+    last_losses: dict = None  # most recent train-step loss dict (tests/monitoring)
+
     def save(self):
         save_checkpoint(
             self.logdir, self.step, self.state.params,
@@ -165,6 +167,7 @@ class TrainLoopTrajNet(_CheckpointMixin):
                     batch.pop("control_cond", None)
 
                 self.state, losses = self.train_step(self.state, batch, self._next_key())
+                self.last_losses = losses
 
                 if self.step % self.log_interval == 0 and self.step > 0:
                     _log_losses(self.writer, self.logger, "train", losses, self.step, epoch)
@@ -287,6 +290,7 @@ class TrainLoopPoseNet(_CheckpointMixin):
                 self.state, losses = self.train_step(
                     self.state, step_batch, self._next_key(), skating
                 )
+                self.last_losses = losses
                 if self.step % self.log_interval == 0 and self.step > 0:
                     _log_losses(self.writer, self.logger, "train", losses, self.step, epoch)
                     self._eval(epoch)

