@@ -164,3 +164,79 @@ class TestForward:
         g = jax.grad(loss)(jnp.asarray(self.body_pose, jnp.float32))
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestLoadSmplxNpz:
+    """Round-trip the real SMPLX_NEUTRAL.npz on-disk layout through
+    load_smplx_npz (reference loads the same file via the smplx package,
+    smplx/body_models.py SMPLX.__init__). The file stores shapedirs with 400
+    components (300 shape + 100 expression; loader truncates to 10 betas),
+    posedirs as [V, 3, 486] (model stores the transposed [486, V*3]),
+    kintree_table as uint32 with 2**32-1 at the root, and faces under 'f'."""
+
+    def _write_npz(self, path, src, rng):
+        v = src.num_verts
+        shapedirs400 = np.zeros((v, 3, 400), np.float64)
+        shapedirs400[..., :10] = np.asarray(src.shapedirs, np.float64)
+        shapedirs400[..., 10:] = rng.normal(size=(v, 3, 390)) * 0.01  # expr/extra
+        posedirs_file = (
+            np.asarray(src.posedirs, np.float64).T.reshape(v, 3, 486)
+        )
+        kintree = np.zeros((2, NUM_JOINTS), np.uint32)
+        kintree[0] = np.array([2**32 - 1] + list(SMPLX_PARENTS[1:]), np.int64).astype(np.uint32)
+        kintree[1] = np.arange(NUM_JOINTS, dtype=np.uint32)
+        faces = rng.integers(0, v, size=(2 * v, 3)).astype(np.uint32)
+        np.savez(
+            path,
+            v_template=np.asarray(src.v_template, np.float64),
+            shapedirs=shapedirs400,
+            posedirs=posedirs_file,
+            J_regressor=np.asarray(src.j_regressor, np.float64),
+            weights=np.asarray(src.lbs_weights, np.float64),
+            kintree_table=kintree,
+            f=faces,
+        )
+        return faces
+
+    def test_roundtrip_matches_direct_model(self, tmp_path):
+        from rohm_tpu.body import load_smplx_npz
+
+        rng = np.random.default_rng(7)
+        src = synthetic_model(num_verts=96)
+        path = str(tmp_path / "SMPLX_NEUTRAL.npz")
+        faces = self._write_npz(path, src, rng)
+
+        loaded = load_smplx_npz(path)
+        assert loaded.parents == tuple(int(p) for p in SMPLX_PARENTS)
+        np.testing.assert_array_equal(np.asarray(loaded.faces), faces.astype(np.int64))
+        assert loaded.fingerprint.startswith("npz-")
+
+        betas = rng.normal(size=(10,)).astype(np.float32)
+        go = rng.normal(scale=0.4, size=(3,)).astype(np.float32)
+        bp = rng.normal(scale=0.3, size=(21, 3)).astype(np.float32)
+        tr = rng.normal(size=(3,)).astype(np.float32)
+        jl = forward_joints(loaded, betas, go, bp, tr)
+        js = forward_joints(src, betas, go, bp, tr)
+        np.testing.assert_allclose(np.asarray(jl), np.asarray(js), atol=1e-5)
+        vl, jl55 = forward_vertices(loaded, betas, go, bp, tr)
+        vs, js55 = forward_vertices(src, betas, go, bp, tr)
+        np.testing.assert_allclose(np.asarray(vl), np.asarray(vs), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jl55), np.asarray(js55), atol=1e-5)
+
+    def test_fingerprint_tracks_file_content(self, tmp_path):
+        from rohm_tpu.body import load_smplx_npz
+
+        rng = np.random.default_rng(8)
+        src = synthetic_model(num_verts=64, seed=1)
+        p1 = str(tmp_path / "a.npz")
+        self._write_npz(p1, src, rng)
+        fp1 = load_smplx_npz(p1).fingerprint
+        # same content elsewhere -> same fingerprint; different content -> different
+        p2 = str(tmp_path / "b.npz")
+        self._write_npz(p2, synthetic_model(num_verts=64, seed=2), rng)
+        import shutil
+
+        p3 = str(tmp_path / "c.npz")
+        shutil.copy(p1, p3)
+        assert load_smplx_npz(p3).fingerprint == fp1
+        assert load_smplx_npz(p2).fingerprint != fp1
