@@ -52,6 +52,9 @@ def build_parser() -> ConfigParser:
     p.add_argument("--start_skating_loss_epoch", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--model_dtype", type=str, default="float32")  # float32 | bfloat16
+    # "" (flax autodiff) | "bfloat16" | "float32": run the encoder stack
+    # through the custom-VJP fused Pallas layers with that GEMM dtype
+    p.add_argument("--fused_train", type=str, default="")
     p.add_argument("--debug", type=bool, default=False)
     p.add_argument("--start_prox_mask_epoch", type=int, default=500)
     p.add_argument("--mask_scheme", type=str, default="lower")
@@ -161,7 +164,7 @@ def main(argv=None):
         start_skating_loss_epoch=args.start_skating_loss_epoch,
         mask_scheme=args.mask_scheme, prox_mask_bank=prox_bank, writer=writer,
         seed=args.seed, run_logger=logger, mesh=mesh,
-        save_optimizer=args.save_optimizer,
+        save_optimizer=args.save_optimizer, fused_train=args.fused_train,
     )
     if args.resume_from:
         loop.restore(args.resume_from)

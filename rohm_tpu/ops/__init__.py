@@ -19,6 +19,13 @@ Two generations of the fused PoseNet encoder layer:
 posenet_apply_prepared dispatches on the prepared tree: use
 prepare_posenet_fused(params) for bf16, prepare_posenet_int8(params) for
 int8 — the apply path and cond hoisting (embed_cond) are shared.
+
+- transformer_layer_train: round 3. custom-VJP fused layer for TRAINING —
+  hand-written Pallas forward AND backward (full-recompute, in-kernel
+  param-grad accumulation over the sequence-group grid, externally generated
+  rbg dropout masks). posenet_apply_train is the train-mode counterpart of
+  posenet_apply_fused; enabled via make_posenet_train_step(fused_train=...)
+  / the --fused_train CLI flag.
 """
 
 from rohm_tpu.ops.transformer_layer import (
@@ -36,6 +43,10 @@ from rohm_tpu.ops.transformer_layer_int8 import (
     fused_encoder_stack_int8,
     prepare_posenet_int8,
 )
+from rohm_tpu.ops.transformer_layer_train import (
+    fused_train_layer,
+    posenet_apply_train,
+)
 
 __all__ = [
     "fused_encoder_layer",
@@ -47,4 +58,6 @@ __all__ = [
     "prepare_posenet_int8",
     "posenet_apply_prepared",
     "embed_cond",
+    "fused_train_layer",
+    "posenet_apply_train",
 ]

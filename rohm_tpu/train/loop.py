@@ -224,6 +224,7 @@ class TrainLoopPoseNet(_CheckpointMixin):
         mesh=None,
         run_logger=None,
         save_optimizer: bool = False,
+        fused_train: str = "",
     ):
         self.model = model
         self.logger = run_logger or logger
@@ -248,7 +249,8 @@ class TrainLoopPoseNet(_CheckpointMixin):
         mean = jnp.asarray(train_dataset.mean)
         std = jnp.asarray(train_dataset.std)
         self.train_step = make_posenet_train_step(
-            model, sched_train, mean, std, body_model, loss_weights, mesh
+            model, sched_train, mean, std, body_model, loss_weights, mesh,
+            fused_train=fused_train or None,
         )
         self.sampler = make_posenet_sampler(model, sched_eval, mesh=mesh)
         self.eval_loss_fn = jax.jit(

@@ -106,13 +106,52 @@ def make_posenet_train_step(
     body_model: SmplxModel,
     loss_weights: dict,
     mesh: Mesh | None = None,
+    fused_train: str | None = None,
 ) -> Callable:
     """step(state, batch, key, skating_active) -> (state, loss_dict).
 
     batch keys: motion_repr_clean [B,T,294], cond [B,T,294] (masked).
     q_sample covers the full 294-d repr (gaussian_diffusion_posenet.py:905-907).
     skating_active gates the foot-skating loss (start_skating_loss_epoch).
+
+    fused_train: "bfloat16" / "float32" runs the encoder stack through the
+    custom-VJP fused Pallas layers (ops/transformer_layer_train.py) with that
+    GEMM dtype instead of flax autodiff — same math, hand-written backward.
     """
+    if fused_train:
+        from rohm_tpu.ops.transformer_layer_train import posenet_apply_train
+
+        fused_dtype = jnp.dtype(fused_train)
+
+        def _fused_apply(params, x_t, cond, t, drop_key):
+            return posenet_apply_train(
+                params, x_t, cond, t, drop_key,
+                num_layers=model.num_layers, num_heads=model.num_heads,
+                traj_feat_dim=model.traj_feat_dim, dropout_p=model.dropout,
+                dtype=fused_dtype,
+            )
+
+        if mesh is not None:
+            # Mosaic custom calls have no GSPMD partitioning rule; run the
+            # fused fwd+bwd per-shard via shard_map (differentiable — its
+            # transpose inserts the param-grad psum). Fold the shard index
+            # into the dropout key so shards draw independent masks.
+            def _shard_apply(params, x_t, cond, t, drop_key):
+                drop_key = jax.random.fold_in(drop_key, jax.lax.axis_index("data"))
+                return _fused_apply(params, x_t, cond, t, drop_key)
+
+            apply_fn = jax.shard_map(
+                _shard_apply, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                out_specs=P("data"), check_vma=False,
+            )
+        else:
+            apply_fn = _fused_apply
+    else:
+        def apply_fn(params, x_t, cond, t, drop_key):
+            return model.apply(
+                params, x_t, cond, t, train=True, rngs={"dropout": drop_key}
+            )
 
     def step(state: TrainState, batch: dict, key: jax.Array, skating_active: jnp.ndarray):
         t_key, n_key, d_key = jax.random.split(key, 3)
@@ -124,9 +163,7 @@ def make_posenet_train_step(
         drop_key = _rbg_dropout_key(d_key)
 
         def loss_fn(params):
-            out = model.apply(
-                params, x_t, batch["cond"], t, train=True, rngs={"dropout": drop_key}
-            )
+            out = apply_fn(params, x_t, batch["cond"], t, drop_key)
             losses = posenet_losses(
                 out, clean, mean, std, body_model, loss_weights,
                 skating_active=skating_active,

@@ -199,3 +199,65 @@ def test_schedule_samplers():
         ls.update_with_losses(t, np.abs(rng.normal(size=32)))
     t, w = ls.sample(64, rng)
     assert (w > 0).all()
+
+
+def test_posenet_training_converges_fused(body, dataset):
+    """VERDICT r2 #6 done-criterion: convergence must hold with the
+    custom-VJP fused Pallas encoder layers (ops/transformer_layer_train.py)
+    driving the backward instead of flax autodiff."""
+    model = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    sched = make_schedule("cosine", 20)
+    raw = next(dataset.batches(4, shuffle=False))
+    batch = {"motion_repr_clean": raw["motion_repr_clean"], "cond": raw["motion_repr_noisy"]}
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((4, T, 294)), jnp.zeros((4, T, 294)), jnp.zeros(4, jnp.int32))
+    state = create_train_state(params, lr=3e-3)
+    step = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, POSE_WEIGHTS, fused_train="float32",
+    )
+    history = []
+    for i in range(150):
+        state, losses = step(state, batch, jax.random.fold_in(key, i), jnp.asarray(1.0))
+        history.append(float(losses["loss"]))
+    early = float(np.mean(history[:10]))
+    late = float(np.mean(history[-10:]))
+    assert np.isfinite(late), history[-5:]
+    assert late < early / 2, f"loss did not converge: {early:.4f} -> {late:.4f}"
+
+
+def test_posenet_train_step_fused_sharded(body, dataset):
+    """Fused custom-VJP layers under the 8-virtual-device data-parallel mesh
+    (shard_map per shard; its transpose supplies the param-grad psum)."""
+    mesh = data_parallel_mesh()
+    if mesh.size < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    model = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    sched = make_schedule("cosine", 20)
+    raw = next(dataset.batches(4, shuffle=False))
+    tile = lambda a: np.concatenate([a, a], axis=0)  # 4 clips -> batch of 8
+    batch = {"motion_repr_clean": tile(raw["motion_repr_clean"]),
+             "cond": tile(raw["motion_repr_noisy"])}
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((8, T, 294)), jnp.zeros((8, T, 294)), jnp.zeros(8, jnp.int32))
+    state = create_train_state(params, lr=1e-3)
+    step = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, POSE_WEIGHTS, mesh=mesh, fused_train="float32",
+    )
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    # the step donates its state: give the second state its own buffers
+    state2 = create_train_state(jax.tree.map(jnp.copy, params), lr=1e-3)
+    state, losses = step(state, batch, key, jnp.asarray(1.0))
+    assert np.isfinite(float(losses["loss"]))
+    assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+    # the sharded fused step must agree with the unsharded fused step
+    step2 = make_posenet_train_step(
+        model, sched, jnp.asarray(dataset.mean), jnp.asarray(dataset.std),
+        body, POSE_WEIGHTS, fused_train="float32",
+    )
+    state2, losses2 = step2(state2, batch, key, jnp.asarray(1.0))
+    # dropout keys differ per shard (fold_in axis_index) so losses differ
+    # slightly; the loss magnitude and update direction must agree
+    assert abs(float(losses["loss"]) - float(losses2["loss"])) < 0.5 * abs(float(losses2["loss"])) + 1e-3
