@@ -650,3 +650,142 @@ def test_metric_parity(results):
         assert rel < 1e-2 or abs(a - b) < 1e-6, (
             f"metric {k} parity broken: ref {a} vs jax {b} (rel {rel})"
         )
+
+
+# --------------------------------------------------------------------------
+# PROX guidance cross-framework parity (2-D reprojection + skating, early_stop)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prox_cam(body, data):
+    """Geometrically consistent camera/keypoint setup for the prox guidance
+    path: scene->cano transform, a camera at scene y=-3 looking at the
+    subject, and keypoints produced by projecting the CLEAN decoded joints
+    through that camera (plus pixel noise + confidences) — so the 2-D
+    reprojection loss has a meaningful, nonzero gradient on both sides."""
+    rng = np.random.default_rng(77)
+    ang = 0.3
+    c, s = np.cos(ang), np.sin(ang)
+    tm = np.eye(4, dtype=np.float32)
+    tm[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    tm[:3, 3] = [0.5, -0.3, 0.0]
+    transf_matrix = np.stack([tm] * B)  # [B, 4, 4] scene -> canonical
+    # camera basis in scene coords (columns): x_cam=+x, y_cam=-z, z_cam=+y
+    cam_r = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+    cam_t = np.array([0.0, -3.0, 1.0], np.float32)
+    focal = np.full((B, 2), 800.0, np.float32)
+    center = np.full((B, 2), 512.0, np.float32)
+
+    clean = data.pose_clean[:, :T_POSE] * data.std + data.mean
+    joints = np.asarray(
+        recover_from_repr(split_repr(jnp.asarray(clean)), mode="smplx_params", body_model=body)
+    )  # [B, T, 22, 3] canonical
+    inv = np.linalg.inv(transf_matrix)  # cano -> scene
+    scene = np.einsum("bij,btnj->btni", inv[:, :3, :3], joints) + inv[:, None, None, :3, 3]
+    cam = np.einsum("ij,btnj->btni", np.linalg.inv(cam_r), scene - cam_t)
+    uv = cam[..., :2] / cam[..., 2:3] * focal[:, None, None, :] + center[:, None, None, :]
+    kp = np.concatenate(
+        [
+            uv + rng.normal(scale=2.0, size=uv.shape),
+            rng.uniform(0.3, 1.0, uv.shape[:-1] + (1,)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    kp[:, :, 9, 2] = 0.0  # one joint fully unobserved
+    assert cam[..., 2].min() > 1.0, "keypoint camera must see the subject from the front"
+    return types.SimpleNamespace(
+        transf_matrix=transf_matrix, cam_r=cam_r, cam_t=cam_t,
+        focal=focal, center=center, keypoints=kp,
+    )
+
+
+@pytest.fixture(scope="module")
+def noise_prox():
+    rng = np.random.default_rng(4321)
+    return {
+        "init": rng.standard_normal((B, T_POSE, 294), np.float32),
+        "step": rng.standard_normal((STEPS_POSE, B, T_POSE, 294), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def prox_results(ref, torch_models, twin, flax_params, body, data, noise_prox, prox_cam):
+    """Run the REAL reference guided PoseNet chain with grad_type='prox'
+    (2-D reprojection 3e5 + skating 1e5 at t<=100,
+    gaussian_diffusion_posenet.py:461-471) and early_stop=True (980 steps,
+    returns pred_xstart, :624-626) vs this framework's p_sample_loop with
+    prox_guidance + early_stop_steps=20, same weights/noise/cameras."""
+    cond = data.pose_noisy[:, :T_POSE].copy()
+    cond[:, :, -4:] = 0.0  # contact dims zeroed when input is noisy
+
+    # ---------------- reference
+    args_ns = types.SimpleNamespace(noise_schedule="cosine", sigma_small=True)
+    diff_pose = ref.model_util.create_gaussian_diffusion(
+        args_ns, gd=ref.gd_pose, return_class=ref.SpacedDiffusionPoseNet,
+        num_diffusion_timesteps=STEPS_POSE, timestep_respacing="", device="cpu",
+    )
+    ds = torch_models.posenet.dataset
+    ds.cam_R = torch.from_numpy(prox_cam.cam_r.copy())
+    ds.cam_t = torch.from_numpy(prox_cam.cam_t.copy())
+
+    def perm(a):
+        return np.ascontiguousarray(a.transpose(0, 2, 1)[:, :, None, :])
+
+    tbp = {
+        "motion_repr_clean": torch.from_numpy(perm(data.pose_clean[:, :T_POSE])),
+        "cond": torch.from_numpy(perm(cond)),
+        "transf_matrix": torch.from_numpy(prox_cam.transf_matrix.copy()),
+        "focal_length": torch.from_numpy(prox_cam.focal.copy()),
+        "camera_center": torch.from_numpy(prox_cam.center.copy()),
+        "keypoints_2d": torch.from_numpy(prox_cam.keypoints.copy()),
+    }
+    shape = list(tbp["motion_repr_clean"].shape)
+    feed = [perm(noise_prox["init"])] + [
+        perm(noise_prox["step"][t]) for t in range(STEPS_POSE - 1, 19, -1)
+    ]
+    with _patched_noise(feed):
+        _, val_ref = diff_pose.eval_losses(
+            model=torch_models.posenet, batch=tbp, shape=shape, progress=False,
+            clip_denoised=False, timestep_respacing="", cond_fn_with_grad=True,
+            early_stop=True, compute_loss=False, grad_type="prox", smplx_model=twin,
+        )
+    ref_pose = val_ref[:, :, 0].permute(0, 2, 1).detach().numpy()
+
+    # ---------------- this framework
+    from rohm_tpu.diffusion.sampler import p_sample_loop
+    from rohm_tpu.models.guidance import prox_guidance
+
+    model_posenet = PoseNet(latent_dim=LATENT, ff_size=FF, num_layers=LAYERS, num_heads=HEADS)
+    cond_j = jnp.asarray(cond)
+    mean_j, std_j = jnp.asarray(data.mean), jnp.asarray(data.std)
+
+    def model_fn(x, t):
+        return model_posenet.apply(flax_params.posenet, x, cond_j, t)
+
+    specs = prox_guidance(
+        mean_j, std_j, body, jnp.asarray(prox_cam.transf_matrix),
+        jnp.asarray(prox_cam.cam_r), jnp.asarray(prox_cam.cam_t),
+        jnp.asarray(prox_cam.focal), jnp.asarray(prox_cam.center),
+        jnp.asarray(prox_cam.keypoints),
+    )
+    val_jax = p_sample_loop(
+        model_fn, make_schedule("cosine", STEPS_POSE), (B, T_POSE, 294),
+        jax.random.PRNGKey(0), noise=jnp.asarray(noise_prox["init"]),
+        guidance=specs, early_stop_steps=20,
+        step_noise=jnp.asarray(noise_prox["step"]),
+    )
+    return ref_pose, np.asarray(val_jax)
+
+
+def test_prox_guided_chain_parity(prox_results):
+    """The prox-guidance composition — denorm -> decode -> cano->scene->
+    camera->pixel projection -> confidence-weighted L1 on the joint subset ->
+    grad through SMPL-X -> posterior-mean injection, PLUS skating, PLUS the
+    early_stop pred_xstart return — must agree across frameworks on
+    identical weights/noise/cameras."""
+    ref_pose, jax_pose = prox_results
+    d = np.abs(ref_pose - jax_pose)
+    print(f"[parity] prox guided chain maxdiff={d.max():.2e} mean={d.mean():.2e}")
+    assert d.max() < 5e-3, f"prox guided chain diverged: {d.max()}"
+    assert np.isfinite(jax_pose).all()
