@@ -132,3 +132,22 @@ def test_train_trajcontrol_bootstrap_freeze(tmp_path):
                 moved += 1
     assert moved == 0, f"{moved} frozen backbone leaves changed during finetune"
     assert frozen_same > 10
+
+
+def test_train_posenet_cli_fused_train(tmp_path):
+    """--fused_train routes the step through the custom-VJP Pallas layers
+    (interpret mode on CPU); the run-artifact contract is unchanged and the
+    loss is finite."""
+    from rohm_tpu.cli import train_posenet as cli
+
+    loop = cli.main(COMMON + [
+        f"--dataset_root={tmp_path / 'amass'}",
+        f"--save_dir={tmp_path / 'runs'}",
+        "--latent_dim=32",
+        "--fused_train=float32",
+    ])
+    logdir, files, ckpts = _logdir_artifacts(tmp_path / "runs")
+    assert "model000000004" in ckpts
+    assert np.isfinite(float(loop.last_losses["loss"]))
+    with open(os.path.join(logdir, "params.json")) as f:
+        assert json.load(f)["fused_train"] == "float32"
