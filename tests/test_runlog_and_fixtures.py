@@ -97,3 +97,29 @@ def test_skeleton_topology_matches_reference():
         ) + "]"
     )
     assert [tuple(e) for e in LIMBS_BODY_SMPL] == [tuple(e) for e in edges]
+
+
+def test_profile_kv_accumulates():
+    """profile_kv / @profile / get_timings (reference logger.py:294-309 role)."""
+    import time
+
+    from rohm_tpu.utils.profiling import (
+        get_timings, profile, profile_kv, reset_timings,
+    )
+
+    reset_timings()
+    with profile_kv("block"):
+        time.sleep(0.01)
+    with profile_kv("block"):
+        time.sleep(0.01)
+
+    @profile
+    def work():
+        time.sleep(0.005)
+
+    work()
+    t = get_timings()
+    assert t["block"][1] == 2 and t["block"][0] >= 0.02
+    assert t["work"][1] == 1 and t["work"][0] >= 0.005
+    reset_timings()
+    assert get_timings() == {}
