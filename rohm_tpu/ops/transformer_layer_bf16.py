@@ -205,6 +205,13 @@ def posenet_apply_prepared(
         seq = fused_encoder_stack_int8(
             seq, prep["layers_stacked"], num_heads, interpret=interpret
         )
+    elif "layers_qattn" in prep:
+        from rohm_tpu.ops.transformer_layer_int8 import fused_encoder_layer_int8
+
+        for layer in prep["layers_qattn"]:
+            seq = fused_encoder_layer_int8(
+                seq, layer, num_heads, interpret=interpret, qattn=True
+            )
     else:
         if len(prep["layers"][0]) == 16:
             from rohm_tpu.ops.transformer_layer_int8 import fused_encoder_layer_int8

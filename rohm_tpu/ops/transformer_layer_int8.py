@@ -59,6 +59,50 @@ def _dot_i8(qx, row_scale, w_q, col_scale):
     return acc.astype(jnp.float32) * row_scale * col_scale
 
 
+def _quant_probs(p: jnp.ndarray) -> jnp.ndarray:
+    """Softmax probs (in [0,1]) -> int8 at the FIXED scale 1/127 — no dynamic
+    amax needed, so quantizing probs costs one round per element."""
+    return jnp.round(p * 127.0).astype(jnp.int8)
+
+
+def attention_int8(q, k, v, g: int, s: int, num_heads: int) -> jnp.ndarray:
+    """Fully quantized attention: scores = i8(q) x i8(k)^T with per-row
+    scales, f32 softmax, probs at fixed 1/127 scale x per-column-quantized V.
+
+    Experimental throughput variant (qattn=True): moves the last bf16 GEMMs
+    of the int8 layer onto the int8 MXU. Accuracy cost is bounded by the
+    probs quantization step (1/254 absolute on attention weights); gate any
+    production use on the e2e metric tests."""
+    d = q.shape[-1]
+    dh = d // num_heads
+    seq_outs = []
+    for gi in range(g):
+        r = slice(gi * s, (gi + 1) * s)
+        head_outs = []
+        for h in range(num_heads):
+            col = slice(h * dh, (h + 1) * dh)
+            qq, rq = _quant_rows(q[r, col])
+            kk, rk = _quant_rows(k[r, col])
+            acc = jax.lax.dot_general(
+                qq, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = acc.astype(jnp.float32) * rq * rk.reshape(1, -1)
+            pi = _quant_probs(jax.nn.softmax(scores, axis=-1))
+            vf = v[r, col].astype(jnp.float32)
+            vmax = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-12)
+            vv = jnp.clip(jnp.round(vf * (127.0 / vmax)), -127.0, 127.0).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                pi, vv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            head_outs.append(
+                (o.astype(jnp.float32) * (vmax / (127.0 * 127.0))).astype(jnp.bfloat16)
+            )
+        seq_outs.append(jnp.concatenate(head_outs, axis=-1))
+    return jnp.concatenate(seq_outs, axis=0)  # [g*s, D] bf16
+
+
 def _layer_kernel_int8(
     x_ref,                     # [G, S, D] bf16
     wqkv_ref, sqkv_ref, bqkv_ref,  # [D, 3D] i8, [3D] f32, [3D] f32
@@ -68,7 +112,7 @@ def _layer_kernel_int8(
     w2_ref, s2_ref, b2_ref,        # [F, D] i8, [D] f32, [D] f32
     ln2_s_ref, ln2_b_ref,          # [D] f32
     out_ref,                   # [G, S, D] bf16
-    *, num_heads: int,
+    *, num_heads: int, qattn: bool = False,
 ):
     g, s, d = x_ref.shape
     rows = g * s
@@ -80,9 +124,13 @@ def _layer_kernel_int8(
     k = qkv[:, d : 2 * d]
     v = qkv[:, 2 * d :]
 
-    # attention stays bf16 GEMMs + f32 softmax — small (~17 us/layer) and the
-    # most numerically delicate part (1/sqrt(dh) folded into the QKV scales)
-    attn = attention_bf16(q, k, v, g, s, num_heads)
+    if qattn:
+        attn = attention_int8(q, k, v, g, s, num_heads)
+    else:
+        # attention stays bf16 GEMMs + f32 softmax — small (~17 us/layer) and
+        # the most numerically delicate part (1/sqrt(dh) folded into the QKV
+        # scales)
+        attn = attention_bf16(q, k, v, g, s, num_heads)
     qa, ra = _quant_rows(attn)
     attn = _dot_i8(qa, ra, wo_ref[:], so_ref[:]) + bo_ref[:]
 
@@ -213,8 +261,11 @@ def prepare_layer_int8(layer: dict) -> tuple:
 def fused_encoder_layer_int8(
     x: jnp.ndarray, prepared: tuple, num_heads: int = 4,
     interpret: bool | None = None, group: int | None = None,
+    qattn: bool = False,
 ) -> jnp.ndarray:
-    """One fused int8 encoder layer. x [B, S, D] bf16 -> [B, S, D] bf16."""
+    """One fused int8 encoder layer. x [B, S, D] bf16 -> [B, S, D] bf16.
+
+    qattn=True additionally quantizes the attention GEMMs (attention_int8)."""
     if interpret is None:
         interpret = _default_interpret()
     b, s, d = x.shape
@@ -232,7 +283,7 @@ def fused_encoder_layer_int8(
 
     flops = 2 * s * d * (4 * d + 2 * f) + 4 * s * s * d
     return pl.pallas_call(
-        partial(_layer_kernel_int8, num_heads=num_heads),
+        partial(_layer_kernel_int8, num_heads=num_heads, qattn=qattn),
         grid=(b // group,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -252,7 +303,8 @@ def fused_encoder_layer_int8(
 
 
 def prepare_posenet_int8(
-    params: dict, num_layers: int = 8, max_len: int = 5000, mega: bool = False
+    params: dict, num_layers: int = 8, max_len: int = 5000, mega: bool = False,
+    qattn: bool = False,
 ):
     """One-time quantization of a PoseNet param tree for the int8 path.
     Embedding/head/timestep params stay f32 (tiny GEMMs).
@@ -265,11 +317,14 @@ def prepare_posenet_int8(
     kernels (mega=False) stay the production default."""
     p = params["params"]
     layers = tuple(prepare_layer_int8(p[f"layer_{i}"]) for i in range(num_layers))
-    layer_entry = (
-        {"layers_stacked": tuple(
+    if mega:
+        layer_entry = {"layers_stacked": tuple(
             jnp.stack([lay[i] for lay in layers]) for i in range(len(layers[0]))
         )}
-        if mega
-        else {"layers": layers}
-    )
+    elif qattn:
+        # structural marker (pytree-safe under jit): posenet_apply_prepared
+        # dispatches on the key name, enabling attention_int8 in the kernel
+        layer_entry = {"layers_qattn": layers}
+    else:
+        layer_entry = {"layers": layers}
     return {**layer_entry, **posenet_prep_tail(params, max_len)}

@@ -182,3 +182,56 @@ class TestInt8Fused:
 
         out = run(prep, x, cond, t)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInt8QuantizedAttention:
+    """Experimental qattn variant: attention GEMMs on the int8 MXU
+    (scores via per-row-quantized q/k, probs at fixed 1/127 scale x
+    per-column-quantized V). Must stay within the int8 envelope vs flax and
+    close to the bf16-attention int8 kernel."""
+
+    def test_qattn_layer_envelope(self, posenet_setup):
+        from rohm_tpu.ops import fused_encoder_layer_int8
+        from rohm_tpu.ops.transformer_layer_int8 import prepare_layer_int8
+
+        _, params, *_ = posenet_setup
+        layer_params = params["params"]["layer_0"]
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, 16, D))
+
+        flax_layer = TransformerEncoderLayer(D, HEADS, FF, dropout=0.0)
+        ref = np.asarray(flax_layer.apply({"params": layer_params}, x, train=False))
+        prepared = prepare_layer_int8(layer_params)
+        out_q = np.asarray(
+            fused_encoder_layer_int8(
+                x.astype(jnp.bfloat16), prepared, num_heads=HEADS,
+                interpret=True, qattn=True,
+            ).astype(jnp.float32)
+        )
+        out_b = np.asarray(
+            fused_encoder_layer_int8(
+                x.astype(jnp.bfloat16), prepared, num_heads=HEADS, interpret=True
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out_q, ref, atol=0.3)
+        assert np.abs(out_q - ref).mean() < 5e-2
+        # qattn vs bf16-attention int8: difference bounded by probs/V quant
+        assert np.abs(out_q - out_b).mean() < 2e-2
+
+    def test_qattn_prep_dispatch(self, posenet_setup):
+        """prepare_posenet_int8(qattn=True) marks the tree structurally and
+        posenet_apply_prepared routes through attention_int8."""
+        from rohm_tpu.ops import posenet_apply_prepared, prepare_posenet_int8
+
+        model, params, x, cond, t = posenet_setup
+        ref = np.asarray(model.apply(params, x, cond, t))
+        prep = prepare_posenet_int8(params, num_layers=LAYERS, qattn=True)
+        assert "layers_qattn" in prep and "layers" not in prep
+
+        @jax.jit
+        def run(prep, x, cond, t):
+            return posenet_apply_prepared(prep, x, cond, t, num_heads=HEADS, interpret=True)
+
+        out = np.asarray(run(prep, x, cond, t))
+        np.testing.assert_allclose(out, ref, atol=0.3)
+        assert np.abs(out - ref).mean() < 5e-2
+        np.testing.assert_array_equal(out[..., :22], np.asarray(cond)[..., :22])
