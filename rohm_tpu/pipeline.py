@@ -154,11 +154,11 @@ class RohmPipeline:
     _prepared_posenet: Any = field(default=None, init=False, repr=False)
 
     def __post_init__(self):
-        if self.fused_posenet not in (False, True, "bf16", "int8", "f32"):
+        if self.fused_posenet not in (False, True, "bf16", "int8", "int8qa", "f32"):
             raise ValueError(
                 f"fused_posenet={self.fused_posenet!r}: expected False, True, "
-                "'bf16', 'int8' or 'f32' (an unknown value would silently run "
-                "the plain flax path)"
+                "'bf16', 'int8', 'int8qa' or 'f32' (an unknown value would "
+                "silently run the plain flax path)"
             )
         if self.mesh is not None and self.fused_posenet == "f32":
             # the legacy f32 kernel path takes raw params, not a prepared
@@ -173,14 +173,20 @@ class RohmPipeline:
         if self._prepared_posenet is None:
             from rohm_tpu.ops import prepare_posenet_fused, prepare_posenet_int8
 
-            prepare = (
-                prepare_posenet_int8 if self.fused_posenet == "int8"
-                else prepare_posenet_fused
-            )
-            object.__setattr__(
-                self, "_prepared_posenet",
-                prepare(self.posenet_params, num_layers=self.posenet.num_layers),
-            )
+            if self.fused_posenet == "int8":
+                prep = prepare_posenet_int8(
+                    self.posenet_params, num_layers=self.posenet.num_layers
+                )
+            elif self.fused_posenet == "int8qa":
+                prep = prepare_posenet_int8(
+                    self.posenet_params, num_layers=self.posenet.num_layers,
+                    qattn=True,
+                )
+            else:
+                prep = prepare_posenet_fused(
+                    self.posenet_params, num_layers=self.posenet.num_layers
+                )
+            object.__setattr__(self, "_prepared_posenet", prep)
         return self._prepared_posenet
 
     def _weights(self) -> dict:
@@ -196,7 +202,7 @@ class RohmPipeline:
             "mean": self.mean,
             "std": self.std,
         }
-        if self.fused_posenet in (True, "bf16", "int8"):
+        if self.fused_posenet in (True, "bf16", "int8", "int8qa"):
             w["prep"] = self._ensure_prepared()
         return w
 
@@ -312,7 +318,7 @@ class RohmPipeline:
                 # iteration 2 hides a different window than iteration 1
                 cond = cond * pose_mask[iter_idx]
 
-            if self.fused_posenet in (True, "bf16", "int8"):
+            if self.fused_posenet in (True, "bf16", "int8", "int8qa"):
                 from rohm_tpu.ops import embed_cond, posenet_apply_prepared
 
                 prep = weights["prep"]

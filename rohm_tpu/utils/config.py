@@ -29,7 +29,7 @@ def fused_mode(x):
     if isinstance(x, bool):
         return x
     s = str(x).lower()
-    if s in ("bf16", "int8", "f32"):
+    if s in ("bf16", "int8", "int8qa", "f32"):
         return s
     return str2bool(s)
 
