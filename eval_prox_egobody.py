@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Entry point matching the reference CLI surface: python eval_prox_egobody.py --config=..."""
-from rohm_tpu.cli.eval_prox_egobody import main
 
 if __name__ == "__main__":
-    main()
+    # --via_server fast path: relay to the resident server before paying the
+    # jax/flax import tax (rohm_tpu/serve/client.py is import-light)
+    from rohm_tpu.serve.client import maybe_relay_light
+
+    if not maybe_relay_light("eval_prox_egobody"):
+        from rohm_tpu.cli.eval_prox_egobody import main
+
+        main()

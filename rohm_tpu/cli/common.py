@@ -181,7 +181,15 @@ def load_pretrained(params_like, path: str, allow_partial: bool = False):
 
 def maybe_via_server(cmd: str, args, argv):
     """--via_server relay: forward this CLI invocation (minus the flag) to the
-    resident server (rohm_tpu/serve). Returns (handled, result)."""
+    resident server (rohm_tpu/serve). Returns (handled, result).
+
+    Inside the daemon the env guard short-circuits: a YAML config with
+    `via_server: true` reparsed server-side must run locally, not recurse
+    into relaying (which would spawn daemons unboundedly — the daemon's
+    socket is busy with THIS request, so the ping would time out and
+    ensure_server would Popen a fresh daemon per recursion level)."""
+    if os.environ.get("ROHM_TPU_IN_SERVER"):
+        return False, None
     if not getattr(args, "via_server", False):
         return False, None
     import sys

@@ -98,6 +98,11 @@ def _warm_key(args, stats_dir: str, body) -> tuple:
         tuple(cfg.items()), stats_dir,
         _mtime(args.model_path_trajnet), _mtime(args.model_path_trajnet_control),
         _mtime(args.model_path_posenet), getattr(body, "fingerprint", None),
+        # stats travel with the checkpoint but can be regenerated next to an
+        # unchanged model file; a warm pipeline baked with stale mean/std
+        # would silently disagree with the freshly built dataset's stats
+        _mtime(os.path.join(stats_dir, "AMASS_mean.pkl")),
+        _mtime(os.path.join(stats_dir, "AMASS_std.pkl")),
     )
 
 

@@ -74,6 +74,20 @@ def _handle_run(req: dict) -> dict:
 
 def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> None:
     """Run the daemon until `stop` or idle_timeout seconds without requests."""
+    # a CLI running INSIDE the daemon must never relay back out, even if its
+    # YAML sets via_server: true (maybe_via_server checks this env guard);
+    # without it a config-set flag would recurse into spawning daemons
+    os.environ["ROHM_TPU_IN_SERVER"] = "1"
+
+    # refuse to displace a live daemon: unlinking its socket would orphan a
+    # process that holds the (single-process) TPU until its idle timeout
+    from rohm_tpu.serve.client import server_alive
+
+    if server_alive(socket_path):
+        print(f"[serve] a live daemon already owns {socket_path}; exiting",
+              flush=True)
+        return
+
     # warm the backend before accepting: the first client's clock shouldn't
     # include device discovery
     from rohm_tpu.utils import enable_compilation_cache
@@ -85,7 +99,7 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> Non
           flush=True)
 
     if os.path.exists(socket_path):
-        os.unlink(socket_path)
+        os.unlink(socket_path)  # dead leftover (ping above went unanswered)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(socket_path)
     os.chmod(socket_path, 0o700)
@@ -104,24 +118,43 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> Non
             except socket.timeout:
                 continue
             with conn:
+                # accepted sockets are BLOCKING regardless of the listener's
+                # timeout; a silent client must not wedge the daemon (and its
+                # idle auto-exit) forever. 60 s covers any honest request —
+                # clients send immediately after connecting.
+                conn.settimeout(60.0)
                 try:
                     req = recv_msg(conn)
                 except Exception:
                     continue
                 last_req = time.monotonic()
                 op = req.get("op")
-                if op == "ping":
-                    send_msg(conn, {"ok": True, "pid": os.getpid()})
-                elif op == "stop":
-                    send_msg(conn, {"ok": True})
-                    print("[serve] stop requested", flush=True)
-                    return
-                elif op == "run":
-                    send_msg(conn, _handle_run(req))
-                    last_req = time.monotonic()
-                else:
-                    send_msg(conn, {"ok": False, "error": f"bad op {op!r}"})
+                try:
+                    if op == "ping":
+                        send_msg(conn, {"ok": True, "pid": os.getpid()})
+                    elif op == "stop":
+                        send_msg(conn, {"ok": True})
+                        print("[serve] stop requested", flush=True)
+                        return
+                    elif op == "run":
+                        send_msg(conn, _handle_run(req))
+                        last_req = time.monotonic()
+                    else:
+                        send_msg(conn, {"ok": False, "error": f"bad op {op!r}"})
+                except Exception:
+                    # the client hung up (Ctrl-C, its own timeout) while we
+                    # were running/sending — the daemon and its warm state
+                    # must survive; the work's side effects (saved pickles)
+                    # are already on disk
+                    print("[serve] client connection lost mid-reply "
+                          f"({traceback.format_exc(limit=1).splitlines()[-1]})",
+                          flush=True)
+                    continue
     finally:
         srv.close()
         with contextlib.suppress(OSError):
-            os.unlink(socket_path)
+            # only remove the path if no OTHER live daemon rebound it while
+            # we were exiting (ours is closed, so a successful ping means
+            # someone else owns the name now)
+            if not server_alive(socket_path):
+                os.unlink(socket_path)

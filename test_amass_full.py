@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Entry point matching the reference CLI surface: python test_amass_full.py --config=..."""
-from rohm_tpu.cli.test_amass_full import main
 
 if __name__ == "__main__":
-    main()
+    # --via_server fast path: relay to the resident server before paying the
+    # jax/flax import tax (rohm_tpu/serve/client.py is import-light)
+    from rohm_tpu.serve.client import maybe_relay_light
+
+    if not maybe_relay_light("test_amass_full"):
+        from rohm_tpu.cli.test_amass_full import main
+
+        main()
