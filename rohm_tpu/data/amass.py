@@ -524,10 +524,14 @@ class AmassClipDataset:
         pad_last=True pads a short final batch to batch_size by repeating the
         last clip (one compiled shape for the whole eval — a fresh shape costs
         minutes of XLA compile); the dict carries '_valid' with the true count
-        so callers can trim outputs."""
+        so callers can trim outputs. pad_last implies keeping the tail:
+        honoring the (train-oriented) drop_last=True default would silently
+        drop the very clips the caller asked to pad."""
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if pad_last:
+            drop_last = False
         stop = self.n_samples - (self.n_samples % batch_size if drop_last else 0)
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]

