@@ -31,6 +31,7 @@ def build_parser() -> ConfigParser:
     p.add_argument("--visualize", type=bool, default=False)
     p.add_argument("--render", type=bool, default=False)
     p.add_argument("--body_model_path", type=str, default="data/body_models/smplx_model")
+    p.add_argument("--via_server", type=bool, default=False)
     return p
 
 
@@ -58,6 +59,11 @@ def evaluate(saved_data: dict, mask_scheme: str, traj_mask_ratio: float = 0.0) -
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from rohm_tpu.cli.common import maybe_via_server
+
+    handled, result = maybe_via_server("eval_amass_full", args, argv)
+    if handled:
+        return result
     with open(args.saved_data_path, "rb") as f:
         saved_data = pickle.load(f)
     print(args.saved_data_path)

@@ -63,6 +63,7 @@ def build_parser() -> ConfigParser:
     # beyond-parity extension: export each recording's windows stitched into
     # one continuous scene-coord sequence (crossfaded overlap) as npz
     p.add_argument("--stitch_save_dir", type=str, default="")
+    p.add_argument("--via_server", type=bool, default=False)
     return p
 
 
@@ -192,6 +193,11 @@ def render_recording(saved_data: dict, args, body_model) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from rohm_tpu.cli.common import maybe_via_server
+
+    handled, result = maybe_via_server("eval_prox_egobody", args, argv)
+    if handled:
+        return result
     if args.recording_list:
         recordings = [r for r in args.recording_list.split(",") if r]
     elif args.recording_name != "all":

@@ -238,7 +238,8 @@ class RohmPipeline:
         traj output [B,144,traj_feat_dim]).
 
         preset_noise ({} = sample from `key`): deterministic replay /
-        cross-implementation parity. Keys (I = sample_iter, S = chain steps):
+        cross-implementation parity. Any subset of these keys is valid
+        (absent ones sample from `key`; I = sample_iter, S = chain steps):
           traj_init [I,B,144,tf], traj_step [I,S_traj,B,144,tf],
           pose_init [I,B,143,294], pose_step [I,S_pose,B,143,294].
         """
@@ -256,12 +257,17 @@ class RohmPipeline:
             pn = {
                 k: v[iter_idx] for k, v in preset_noise.items()
             } if preset_noise else {}
-            traj_noise_kw = (
-                {"noise": pn["traj_init"], "step_noise": pn["traj_step"]} if pn else {}
-            )
-            pose_noise_kw = (
-                {"noise": pn["pose_init"], "step_noise": pn["pose_step"]} if pn else {}
-            )
+            # partial dicts are valid (e.g. replaying only the PoseNet chain):
+            # absent keys fall back to key-derived sampling per chain
+            _kw_map = {"noise": "_init", "step_noise": "_step"}
+            traj_noise_kw = {
+                kw: pn["traj" + sfx] for kw, sfx in _kw_map.items()
+                if "traj" + sfx in pn
+            }
+            pose_noise_kw = {
+                kw: pn["pose" + sfx] for kw, sfx in _kw_map.items()
+                if "pose" + sfx in pn
+            }
             if iter_idx == 0:
                 def model_fn(x, tt):
                     return self.trajnet.apply(weights["trajnet"], x, cur_traj_cond, tt)
@@ -401,6 +407,13 @@ class RohmPipeline:
                 object.__setattr__(self, "_jitted", jax.jit(self._run))
         gd = {k: jnp.asarray(v) for k, v in (guidance_data or {}).items()}
         pn = {k: jnp.asarray(v) for k, v in (preset_noise or {}).items()}
+        known = {"traj_init", "traj_step", "pose_init", "pose_step"}
+        if not set(pn) <= known:
+            raise ValueError(
+                f"unknown preset_noise key(s) {sorted(set(pn) - known)}; "
+                f"valid keys: {sorted(known)} (any subset — absent keys "
+                "fall back to key-derived sampling)"
+            )
         pm = jnp.asarray(pose_mask)
         if pm.ndim == 3:  # one mask for every iteration
             pm = jnp.broadcast_to(pm[None], (self.sample_iter,) + pm.shape)

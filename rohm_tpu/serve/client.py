@@ -3,6 +3,7 @@ client invocation that only relays a request stays <100 ms of python)."""
 
 from __future__ import annotations
 
+import fcntl
 import os
 import socket
 import subprocess
@@ -27,6 +28,9 @@ def _request(msg: dict, socket_path: str, timeout: float):
 
 
 def server_alive(socket_path: str | None = None) -> bool:
+    """True iff a daemon answers a ping — i.e. it is alive AND idle. A daemon
+    mid-request cannot answer (single-threaded); see daemon_process_exists
+    for the busy-vs-dead distinction."""
     from rohm_tpu.serve import DEFAULT_SOCKET
 
     socket_path = socket_path or DEFAULT_SOCKET
@@ -34,6 +38,38 @@ def server_alive(socket_path: str | None = None) -> bool:
         return False
     try:
         return bool(_request({"op": "ping"}, socket_path, 5.0).get("ok"))
+    except OSError:
+        return False
+
+
+def daemon_process_exists(socket_path: str | None = None) -> bool:
+    """True iff a daemon PROCESS holds the owner flock — even one busy inside
+    a multi-minute request that can't answer pings. The kernel releases the
+    flock the instant the holder dies, so this never reports a stale owner."""
+    from rohm_tpu.serve import DEFAULT_SOCKET
+
+    socket_path = socket_path or DEFAULT_SOCKET
+    try:
+        fd = os.open(socket_path + ".owner", os.O_CREAT | os.O_RDWR, 0o600)
+    except OSError:
+        return False
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        return False
+    except OSError:
+        return True
+    finally:
+        os.close(fd)
+
+
+def _socket_connectable(socket_path: str) -> bool:
+    """A bound listener accepts connects (into the backlog) even while the
+    daemon is busy; a booting daemon hasn't bound yet and a dead one's stale
+    path refuses."""
+    try:
+        _connect(socket_path, 2.0).close()
+        return True
     except OSError:
         return False
 
@@ -54,59 +90,69 @@ def ensure_server(
     socket_path: str | None = None, start_timeout: float = 300.0,
     idle_timeout: float = 600.0, log_path: str = "/tmp/rohm_tpu_server.log",
 ) -> None:
-    """Ping the daemon; spawn a detached one if absent and wait until it
-    answers (the spawn pays jax/TPU init, up to minutes over a tunnel).
+    """Make sure a daemon is reachable: return if one answers a ping OR is
+    alive-but-busy (its backlog will queue our request); otherwise spawn a
+    detached one and wait until it answers (the spawn pays jax/TPU init, up
+    to minutes over a tunnel).
 
-    A lockfile serializes concurrent spawns: two clients starting inside the
-    boot window would otherwise each Popen a daemon, and the loser's socket
-    unlink would orphan the winner (both fighting over a single-process TPU).
+    Spawns are serialized by an flock on `<socket>.spawn_lock` — held for the
+    duration of the boot wait and released by the kernel if the spawning
+    client dies, so there is no staleness heuristic to race on. A busy LIVE
+    daemon is detected via the `.owner` flock the daemon holds for its whole
+    life; without that check, a ping timeout against a daemon mid-request
+    would spawn a second jax process fighting over the single-process TPU.
     """
     from rohm_tpu.serve import DEFAULT_SOCKET
 
     socket_path = socket_path or DEFAULT_SOCKET
     if server_alive(socket_path):
         return
-    lock_path = socket_path + ".spawn_lock"
+    lock_fd = os.open(socket_path + ".spawn_lock", os.O_CREAT | os.O_RDWR, 0o600)
     got_lock = False
+    proc = None
+    spawns = 0
     try:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            got_lock = True
-        except FileExistsError:
-            # someone else is booting the daemon — unless their lock is stale
-            # (older than the boot window), just wait for it below
-            try:
-                if time.time() - os.path.getmtime(lock_path) > start_timeout:
-                    os.unlink(lock_path)
-                    return ensure_server(socket_path, start_timeout,
-                                         idle_timeout, log_path)
-            except OSError:
-                pass
-        if got_lock:
-            with open(log_path, "ab") as log:
-                subprocess.Popen(
-                    [sys.executable, "-m", "rohm_tpu.serve",
-                     f"--socket={socket_path}", f"--idle_timeout={idle_timeout}"],
-                    stdout=log, stderr=log, start_new_session=True,
-                    cwd=os.getcwd(),
-                )
         deadline = time.monotonic() + start_timeout
-        while time.monotonic() < deadline:
-            if server_alive(socket_path):
-                return
+        while True:
+            if daemon_process_exists(socket_path):
+                if _socket_connectable(socket_path):
+                    # alive — idle (would answer a ping) or mid-request (our
+                    # request will queue in the listener backlog); spawning
+                    # here would duplicate the single-process TPU claim
+                    return
+                # else: a daemon is booting (flock held, socket not bound
+                # yet) — keep waiting for it
+            elif not got_lock:
+                try:
+                    fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    got_lock = True
+                except OSError:
+                    pass  # another client is spawning; wait for its daemon
+            if got_lock and not daemon_process_exists(socket_path) and (
+                proc is None or proc.poll() is not None
+            ):
+                if spawns >= 3:
+                    raise RuntimeError(
+                        f"spawned rohm_tpu server exited {spawns}x without "
+                        f"binding {socket_path} (see {log_path})"
+                    )
+                with open(log_path, "ab") as log:
+                    proc = subprocess.Popen(
+                        [sys.executable, "-m", "rohm_tpu.serve",
+                         f"--socket={socket_path}",
+                         f"--idle_timeout={idle_timeout}"],
+                        stdout=log, stderr=log, start_new_session=True,
+                        cwd=os.getcwd(),
+                    )
+                spawns += 1
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"rohm_tpu server did not come up within "
+                    f"{start_timeout:.0f}s (see {log_path})"
+                )
             time.sleep(1.0)
-        raise TimeoutError(
-            f"rohm_tpu server did not come up within {start_timeout:.0f}s "
-            f"(see {log_path})"
-        )
     finally:
-        if got_lock:
-            import contextlib
-
-            with contextlib.suppress(OSError):
-                os.unlink(lock_path)
+        os.close(lock_fd)  # releases the spawn flock if we held it
 
 
 def run_cli(cmd: str, argv: list[str], socket_path: str | None = None,
@@ -163,7 +209,8 @@ def maybe_relay_light(cmd: str, argv: list[str] | None = None) -> bool:
     the invocation to the resident server WITHOUT importing jax/flax/the CLI
     module (those imports cost multi-second overhead per relayed run). A
     via_server set only in the YAML config is NOT seen here — that case falls
-    through to the normal (heavy) maybe_via_server path, which still works.
+    through to the CLI's normal (heavy) maybe_via_server hook, which every
+    server-runnable CLI (the four test_* and two eval_* drivers) declares.
 
     Returns True when the invocation was handled (relayed); the caller should
     then skip the normal main().

@@ -9,11 +9,19 @@ Response:     {"ok": bool, "result": ..., "stdout": str, "error": str|None}
 One request at a time (the device is serial anyway). Idle auto-exit releases
 the TPU: a tunneled chip is single-process, so a forgotten daemon must never
 starve training jobs or the benchmark harness.
+
+Liveness protocol: the daemon holds an exclusive flock on
+`<socket>.owner` for its entire life. A ping answers only when the daemon is
+idle (single-threaded), but the flock is held even mid-request and is
+released by the kernel the instant the process dies — so clients (and a
+second daemon's displacement guard) can tell "busy" from "dead" without
+ever racing a ping timeout into spawning a duplicate TPU process.
 """
 
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import importlib
 import io
 import os
@@ -54,40 +62,61 @@ def _handle_run(req: dict) -> dict:
     if cmd not in ALLOWED_CMDS:
         return {"ok": False, "result": None, "stdout": "",
                 "error": f"unknown cmd {cmd!r}; allowed: {ALLOWED_CMDS}"}
-    cwd = req.get("cwd")
-    if cwd:
-        os.chdir(cwd)
-    mod = importlib.import_module(f"rohm_tpu.cli.{cmd}")
     tee = _Tee(sys.stdout)
     t0 = time.perf_counter()
+    result, err, ok = None, None, False
+    # everything that can fail (chdir to a deleted client cwd, a CLI module
+    # that no longer imports, the run itself) must produce a traceback in the
+    # response — a raise before the try would close the socket replyless
     try:
+        cwd = req.get("cwd")
+        if cwd:
+            os.chdir(cwd)
+        mod = importlib.import_module(f"rohm_tpu.cli.{cmd}")
         with contextlib.redirect_stdout(tee):
             result = mod.main(req.get("argv", []))
-        err = None
         ok = True
-    except BaseException:  # noqa: BLE001 — the daemon must survive any CLI failure
-        result, err, ok = None, traceback.format_exc(), False
+    except KeyboardInterrupt:
+        raise  # a foreground daemon must stay Ctrl-C-able mid-request
+    except BaseException:  # noqa: BLE001 — survive any CLI failure, incl. argparse SystemExit
+        err = traceback.format_exc()
     print(f"[serve] {cmd} finished in {time.perf_counter() - t0:.1f}s ok={ok}",
           flush=True)
     return {"ok": ok, "result": result, "stdout": tee.buf.getvalue(), "error": err}
 
 
-def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> None:
+def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0,
+          conn_recv_timeout: float = 60.0) -> None:
     """Run the daemon until `stop` or idle_timeout seconds without requests."""
     # a CLI running INSIDE the daemon must never relay back out, even if its
     # YAML sets via_server: true (maybe_via_server checks this env guard);
     # without it a config-set flag would recurse into spawning daemons
     os.environ["ROHM_TPU_IN_SERVER"] = "1"
 
-    # refuse to displace a live daemon: unlinking its socket would orphan a
-    # process that holds the (single-process) TPU until its idle timeout
-    from rohm_tpu.serve.client import server_alive
-
-    if server_alive(socket_path):
-        print(f"[serve] a live daemon already owns {socket_path}; exiting",
-              flush=True)
+    # Ownership gate, BEFORE any jax import: refuse to displace a live daemon
+    # (unlinking its socket would orphan a process holding the single-process
+    # TPU, and booting jax here would make us the second claimant — the
+    # documented tunnel-wedge failure mode). flock is held even while the
+    # incumbent is busy serving, unlike a ping, and dies with its process.
+    owner_fd = os.open(socket_path + ".owner", os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(owner_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(owner_fd)
+        print(f"[serve] a live daemon (possibly mid-request) owns "
+              f"{socket_path}; exiting", flush=True)
         return
+    os.ftruncate(owner_fd, 0)
+    os.write(owner_fd, str(os.getpid()).encode())
+    try:
+        _serve_locked(socket_path, idle_timeout, conn_recv_timeout)
+    finally:
+        os.close(owner_fd)  # releases the flock; the .owner file stays
+        # (unlinking it would race a waiter that just opened the same inode)
 
+
+def _serve_locked(socket_path: str, idle_timeout: float,
+                  conn_recv_timeout: float) -> None:
     # warm the backend before accepting: the first client's clock shouldn't
     # include device discovery
     from rohm_tpu.utils import enable_compilation_cache
@@ -99,7 +128,7 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> Non
           flush=True)
 
     if os.path.exists(socket_path):
-        os.unlink(socket_path)  # dead leftover (ping above went unanswered)
+        os.unlink(socket_path)  # dead leftover (we hold the owner flock)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(socket_path)
     os.chmod(socket_path, 0o700)
@@ -120,9 +149,9 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> Non
             with conn:
                 # accepted sockets are BLOCKING regardless of the listener's
                 # timeout; a silent client must not wedge the daemon (and its
-                # idle auto-exit) forever. 60 s covers any honest request —
-                # clients send immediately after connecting.
-                conn.settimeout(60.0)
+                # idle auto-exit) forever. The default 60 s covers any honest
+                # request — clients send immediately after connecting.
+                conn.settimeout(conn_recv_timeout)
                 try:
                     req = recv_msg(conn)
                 except Exception:
@@ -153,8 +182,6 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0) -> Non
     finally:
         srv.close()
         with contextlib.suppress(OSError):
-            # only remove the path if no OTHER live daemon rebound it while
-            # we were exiting (ours is closed, so a successful ping means
-            # someone else owns the name now)
-            if not server_alive(socket_path):
-                os.unlink(socket_path)
+            # we hold the owner flock until process/fd teardown, so no other
+            # daemon can have rebound the name: the socket path is ours
+            os.unlink(socket_path)

@@ -99,6 +99,53 @@ def test_full_pipeline_runs(body, datasets):
     # (PoseNet concatenates the given traj back, model/posenet.py:94-95)
 
 
+def test_partial_preset_noise_replay(body, datasets):
+    """preset_noise accepts any SUBSET of its keys (e.g. replaying only the
+    PoseNet chain); unknown keys raise a descriptive error instead of a
+    KeyError deep inside tracing."""
+    ds_traj, ds_pose = datasets
+    t_traj = CLIP_LEN - 1
+    model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=64)
+    model_posenet = PoseNet(latent_dim=32, ff_size=64, num_layers=2, num_heads=2)
+    key = jax.random.PRNGKey(0)
+    p_traj = model_trajnet.init(key, jnp.zeros((1, t_traj, 13)), jnp.zeros((1, t_traj, 13)), jnp.zeros(1, jnp.int32))
+    p_pose = model_posenet.init(key, jnp.zeros((1, t_traj - 1, 294)), jnp.zeros((1, t_traj - 1, 294)), jnp.zeros(1, jnp.int32))
+
+    def make():
+        return RohmPipeline(
+            trajnet=model_trajnet, trajnet_params=p_traj,
+            trajcontrol=None, trajcontrol_params=None,
+            posenet=model_posenet, posenet_params=p_pose,
+            sched_traj=make_schedule("cosine", 5),
+            sched_pose=make_schedule("cosine", 8),
+            body_model=body,
+            mean=jnp.asarray(ds_pose.mean), std=jnp.asarray(ds_pose.std),
+            repr_abs_only=True, traj_feat_dim=13, sample_iter=1,
+            grad_type=None, mask_scheme="lower", input_noise=True,
+        )
+
+    bt = next(ds_traj.batches(2, shuffle=False))
+    pose_noisy = np.stack([ds_pose[i]["motion_repr_noisy"] for i in range(2)])
+    pose_mask = amass_eval_pose_mask("lower", 2, t_traj - 1)
+    traj_mask = np.ones((2, t_traj), np.float32)
+    args = (bt["cond"], bt["motion_repr_clean"], pose_noisy, pose_mask, traj_mask)
+
+    rng = np.random.default_rng(3)
+    partial = {  # pose chain only — traj chain falls back to key-derived noise
+        "pose_init": rng.standard_normal((1, 2, t_traj - 1, 294)).astype(np.float32),
+        "pose_step": rng.standard_normal((1, 8, 2, t_traj - 1, 294)).astype(np.float32),
+    }
+    pose_a, traj_a = make().run_batch(*args, jax.random.PRNGKey(1), preset_noise=partial)
+    pose_b, traj_b = make().run_batch(*args, jax.random.PRNGKey(1), preset_noise=partial)
+    np.testing.assert_array_equal(np.asarray(pose_a), np.asarray(pose_b))
+    np.testing.assert_array_equal(np.asarray(traj_a), np.asarray(traj_b))
+    assert np.isfinite(np.asarray(pose_a)).all()
+
+    with pytest.raises(ValueError, match="unknown preset_noise key"):
+        make().run_batch(*args, jax.random.PRNGKey(1),
+                         preset_noise={"pose_noise": partial["pose_init"]})
+
+
 def test_guided_pipeline_runs(body, datasets):
     """Guidance on (amass skating) through the fused pipeline."""
     ds_traj, ds_pose = datasets

@@ -38,29 +38,41 @@ def test_protocol_roundtrip_large():
     a.close(); b.close()
 
 
-@pytest.fixture
-def daemon(tmp_path):
-    """serve() on a tmp socket in a thread; stop via the client on teardown."""
+def _start_daemon(sock_path: str, **kwargs):
+    """serve() on a tmp socket in a thread; returns the thread once alive."""
     from rohm_tpu.serve import daemon as sdaemon
 
-    sock_path = str(tmp_path / "srv.sock")
+    kwargs.setdefault("idle_timeout", 120.0)
     t = threading.Thread(
-        target=sdaemon.serve, args=(sock_path,), kwargs={"idle_timeout": 120.0},
-        daemon=True,
+        target=sdaemon.serve, args=(sock_path,), kwargs=kwargs, daemon=True,
     )
     t.start()
-    deadline = 50
     import time
 
-    for _ in range(deadline * 10):
+    for _ in range(500):
         if sclient.server_alive(sock_path):
-            break
+            return t
         time.sleep(0.1)
-    else:
-        raise TimeoutError("daemon did not come up")
+    raise TimeoutError("daemon did not come up")
+
+
+@pytest.fixture
+def daemon(tmp_path):
+    """A live daemon on a tmp socket; stop via the client on teardown.
+    serve() sets ROHM_TPU_IN_SERVER process-wide (it assumes its own
+    process); restore it so later tests' relay paths are unaffected."""
+    import os
+
+    prior = os.environ.get("ROHM_TPU_IN_SERVER")
+    sock_path = str(tmp_path / "srv.sock")
+    t = _start_daemon(sock_path)
     yield sock_path
     sclient.stop_server(sock_path)
     t.join(timeout=10)
+    if prior is None:
+        os.environ.pop("ROHM_TPU_IN_SERVER", None)
+    else:
+        os.environ["ROHM_TPU_IN_SERVER"] = prior
 
 
 def test_ping_unknown_cmd_and_stop(daemon):
@@ -135,36 +147,136 @@ def test_daemon_survives_client_disconnect(daemon):
     sock.connect(sock_path)
     send_msg(sock, {"op": "ping"})
     sock.close()
-    # and one that connects but never sends (must not wedge accept loop: the
-    # accepted socket carries a 60 s timeout; we don't wait it out here, just
-    # assert the daemon still answers a well-behaved client afterward)
     import time
 
     time.sleep(0.2)
     assert sclient.server_alive(sock_path)
 
 
-def test_ensure_server_spawn_lock(tmp_path, monkeypatch):
-    """A fresh lockfile makes a second client WAIT instead of spawning; a
-    stale one is broken and removed."""
+def test_daemon_unwedges_from_silent_client(tmp_path):
+    """A client that connects but never sends must not wedge the (single-
+    threaded) accept loop: the accepted socket's recv timeout expires and a
+    well-behaved client is then served. Runs a dedicated daemon with the
+    timeout shortened from the production 60 s so the test is fast."""
+    import os
+    import time
+
+    prior = os.environ.get("ROHM_TPU_IN_SERVER")
+    sock_path = str(tmp_path / "srv.sock")
+    t = _start_daemon(sock_path, conn_recv_timeout=1.0)
+    try:
+        silent = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        silent.connect(sock_path)  # never send
+        try:
+            # the daemon is now blocked in recv_msg on the silent conn until
+            # its 1 s timeout; an honest ping sent meanwhile queues in the
+            # backlog and must get answered shortly after
+            t0 = time.monotonic()
+            assert sclient.server_alive(sock_path)
+            assert time.monotonic() - t0 < 10.0
+        finally:
+            silent.close()
+    finally:
+        sclient.stop_server(sock_path)
+        t.join(timeout=10)
+        if prior is None:
+            os.environ.pop("ROHM_TPU_IN_SERVER", None)
+        else:
+            os.environ["ROHM_TPU_IN_SERVER"] = prior
+
+
+def test_daemon_process_exists_tracks_owner_flock(daemon, tmp_path):
+    """The owner flock distinguishes a live daemon from a dead one."""
+    assert sclient.daemon_process_exists(daemon)
+    assert not sclient.daemon_process_exists(str(tmp_path / "other.sock"))
+
+
+def test_second_daemon_refuses_to_displace(daemon, capsys):
+    """serve() on an owned socket must exit immediately (owner flock held by
+    the incumbent) instead of claiming the device and stealing the socket."""
+    from rohm_tpu.serve import daemon as sdaemon
+
+    sdaemon.serve(daemon, idle_timeout=5.0)  # returns, does not serve
+    out = capsys.readouterr().out
+    assert "live daemon" in out
+    assert sclient.server_alive(daemon)  # incumbent untouched
+
+
+def test_run_failure_paths_return_tracebacks(daemon, tmp_path):
+    """chdir/import failures inside a run request must produce an error
+    response (traceback), not a replyless closed socket."""
+    gone = tmp_path / "gone"
+    gone.mkdir()
+    gone.rmdir()
+    with pytest.raises(RuntimeError, match="FileNotFoundError"):
+        from rohm_tpu.serve.protocol import recv_msg as _recv, send_msg as _send
+
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sock:
+            sock.settimeout(30.0)
+            sock.connect(daemon)
+            _send(sock, {"op": "run", "cmd": "eval_amass_full",
+                         "argv": [], "cwd": str(gone)})
+            resp = _recv(sock)
+        assert resp["ok"] is False
+        raise RuntimeError(resp["error"])
+
+
+def test_ensure_server_waits_on_foreign_spawn_lock(tmp_path, monkeypatch):
+    """While another client holds the spawn flock (it is booting the daemon),
+    ensure_server must wait, not spawn a second daemon. flock dies with its
+    holder, so there is no staleness heuristic to race on."""
+    import fcntl
+    import os
+
     sock_path = str(tmp_path / "none.sock")
-    lock = sock_path + ".spawn_lock"
     spawned = []
     monkeypatch.setattr(
         sclient.subprocess, "Popen", lambda *a, **k: spawned.append(a) or None
     )
-    # fresh foreign lock -> no spawn, waits, then times out
-    with open(lock, "w") as f:
-        f.write("12345")
+    fd = os.open(sock_path + ".spawn_lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError):
+            sclient.ensure_server(sock_path, start_timeout=1.5)
+        assert spawned == []
+    finally:
+        os.close(fd)
+    # lock released (holder "died") -> the next client acquires it and spawns
+    class _FakeProc:
+        def poll(self):
+            return None  # still booting
+
+    monkeypatch.setattr(
+        sclient.subprocess, "Popen",
+        lambda *a, **k: spawned.append(a) or _FakeProc(),
+    )
     with pytest.raises(TimeoutError):
         sclient.ensure_server(sock_path, start_timeout=1.5)
-    assert spawned == []
+    assert len(spawned) == 1  # spawned exactly once, then waited
+
+
+def test_ensure_server_returns_for_busy_daemon(tmp_path, monkeypatch):
+    """A daemon that holds the owner flock but cannot answer pings (it is
+    mid-request) must NOT be displaced by a fresh spawn — the request will
+    queue in its listener backlog."""
+    import fcntl
     import os
 
-    assert os.path.exists(lock)  # foreign lock left alone
-    # stale foreign lock (older than the boot window) -> broken, we spawn
-    os.utime(lock, (1, 1))
-    with pytest.raises(TimeoutError):
-        sclient.ensure_server(sock_path, start_timeout=1.5)
-    assert len(spawned) == 1
-    assert not os.path.exists(lock)  # our lock cleaned up on exit
+    sock_path = str(tmp_path / "busy.sock")
+    spawned = []
+    monkeypatch.setattr(
+        sclient.subprocess, "Popen", lambda *a, **k: spawned.append(a) or None
+    )
+    # simulate the busy daemon: owner flock held + bound listener that never
+    # accepts (exactly what a single-threaded daemon inside _handle_run is)
+    fd = os.open(sock_path + ".owner", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(4)
+    try:
+        sclient.ensure_server(sock_path, start_timeout=5.0)  # returns, no raise
+        assert spawned == []
+    finally:
+        srv.close()
+        os.close(fd)
