@@ -255,6 +255,31 @@ def test_ensure_server_waits_on_foreign_spawn_lock(tmp_path, monkeypatch):
     assert len(spawned) == 1  # spawned exactly once, then waited
 
 
+@pytest.mark.slow
+def test_ensure_server_real_spawn_roundtrip(tmp_path):
+    """The unmocked boot path: ensure_server Popens `python -m rohm_tpu.serve`,
+    the daemon acquires the owner flock and binds (on CPU — conftest exports
+    JAX_PLATFORMS=cpu, which the child inherits), answers a ping, and releases
+    the flock on stop."""
+    import time
+
+    sock_path = str(tmp_path / "spawned.sock")
+    log_path = str(tmp_path / "server.log")
+    sclient.ensure_server(sock_path, start_timeout=120.0, idle_timeout=60.0,
+                          log_path=log_path)
+    try:
+        assert sclient.server_alive(sock_path)
+        assert sclient.daemon_process_exists(sock_path)
+    finally:
+        assert sclient.stop_server(sock_path)
+    for _ in range(100):
+        if not sclient.daemon_process_exists(sock_path):
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("daemon still holds the owner flock after stop")
+
+
 def test_ensure_server_returns_for_busy_daemon(tmp_path, monkeypatch):
     """A daemon that holds the owner flock but cannot answer pings (it is
     mid-request) must NOT be displaced by a fresh spawn — the request will
