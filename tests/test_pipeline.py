@@ -330,6 +330,12 @@ def test_pipeline_on_8_device_mesh(body, datasets):
     assert len(val_pose_i8.sharding.device_set) == 8
     assert np.isfinite(np.asarray(val_pose_i8)).all()
 
+    # the experimental quantized-attention variant dispatches through the
+    # same shard_map path (prep tree key 'layers_qattn')
+    val_pose_qa, _ = make(mesh, fused="int8qa").run_batch(*args)
+    assert len(val_pose_qa.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(val_pose_qa)).all()
+
 
 def test_shard_map_fused_apply_matches_direct(body, datasets):
     """The shard_map wrapper around posenet_apply_prepared (what the pipeline
