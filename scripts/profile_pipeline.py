@@ -77,12 +77,26 @@ def main():
             return p_sample_loop(lambda x, t: posenet.apply(p_pose, x, c, t),
                                  sched_p, (batch, T - 1, 294), k, guidance=guidance)
 
-        from rohm_tpu.ops import posenet_apply_fused
+        from rohm_tpu.ops import (
+            embed_cond,
+            posenet_apply_fused,
+            posenet_apply_prepared,
+            prepare_posenet_int8,
+        )
 
         @jax.jit
         def run_pose_guided_fused(c, k):
             return p_sample_loop(
                 lambda x, t: posenet_apply_fused(p_pose, x, c, t),
+                sched_p, (batch, T - 1, 294), k, guidance=guidance)
+
+        prep_int8 = prepare_posenet_int8(p_pose)
+
+        @jax.jit
+        def run_pose_guided_int8(c, k):
+            ce = embed_cond(prep_int8, c)  # once, outside the scan
+            return p_sample_loop(
+                lambda x, t: posenet_apply_prepared(prep_int8, x, c, t, cond_emb=ce),
                 sched_p, (batch, T - 1, 294), k, guidance=guidance)
 
         @jax.jit
@@ -93,12 +107,16 @@ def main():
         tp = timeit(run_pose, cond_p, key, tag="pose")
         tg = timeit(run_pose_guided, cond_p, key, tag="pose+guide")
         tgf = timeit(run_pose_guided_fused, cond_p, key, tag="pose+guide fused")
+        tgi = timeit(run_pose_guided_int8, cond_p, key, tag="pose+guide int8")
         tb = timeit(run_bridge, jnp.zeros((batch, T, 13)), full, tag="bridge")
         total = 2 * (tt + tgf + tb)
+        total_i8 = 2 * (tt + tgi + tb)
         print(
             f"bs={batch:4d}  trajnet100={tt*1e3:8.1f}ms  posenet1000={tp*1e3:8.1f}ms  "
             f"posenet1000+guide={tg*1e3:8.1f}ms  fused+guide={tgf*1e3:8.1f}ms  "
-            f"bridge={tb*1e3:6.1f}ms  full2iter(fused)~{total*1e3:8.1f}ms  clips/s={batch/total:7.1f}"
+            f"int8+guide={tgi*1e3:8.1f}ms  bridge={tb*1e3:6.1f}ms  "
+            f"full2iter(fused)~{total*1e3:8.1f}ms  clips/s={batch/total:7.1f}  "
+            f"full2iter(int8)~{total_i8*1e3:8.1f}ms  clips/s={batch/total_i8:7.1f}"
         )
 
 
