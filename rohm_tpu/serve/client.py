@@ -54,7 +54,11 @@ def daemon_process_exists(socket_path: str | None = None) -> bool:
     except OSError:
         return False
     try:
-        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # LOCK_SH, not LOCK_EX: a read-only liveness probe must never look
+        # like an owner to a booting daemon's LOCK_EX gate (or to another
+        # client probing concurrently) — shared locks coexist with each
+        # other but fail against the daemon's held exclusive lock.
+        fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
         fcntl.flock(fd, fcntl.LOCK_UN)
         return False
     except OSError:
@@ -163,12 +167,23 @@ def run_cli(cmd: str, argv: list[str], socket_path: str | None = None,
     from rohm_tpu.serve import DEFAULT_SOCKET
 
     socket_path = socket_path or DEFAULT_SOCKET
+    msg = {"op": "run", "cmd": cmd, "argv": list(argv), "cwd": os.getcwd()}
     if auto_start:
         ensure_server(socket_path)
-    resp = _request(
-        {"op": "run", "cmd": cmd, "argv": list(argv), "cwd": os.getcwd()},
-        socket_path, timeout,
-    )
+    try:
+        resp = _request(msg, socket_path, timeout)
+    except (ConnectionError, FileNotFoundError) as e:
+        # The daemon can idle-exit (or die) between our liveness check and
+        # the reply — the connect refuses, or recv_msg EOFs on the drained
+        # backlog. One respawn-and-retry is safe: the served CLIs are
+        # idempotent (they overwrite their output pickles), and a request
+        # the daemon never accepted was never executed at all.
+        if not auto_start:
+            raise
+        print(f"[serve-client] connection lost ({e}); restarting the server "
+              "and retrying once", flush=True)
+        ensure_server(socket_path)
+        resp = _request(msg, socket_path, timeout)
     if resp.get("stdout"):
         sys.stdout.write(resp["stdout"])
         sys.stdout.flush()
@@ -180,8 +195,10 @@ def run_cli(cmd: str, argv: list[str], socket_path: str | None = None,
 def _argv_via_server(argv: list[str]) -> tuple[bool, list[str]]:
     """Cheap scan for a truthy --via_server in argv; returns (found, argv
     with the flag stripped). Self-contained so the relay path never imports
-    the heavy CLI/jax stack."""
-    truthy = ("true", "1", "yes")
+    the heavy CLI/jax stack. The truthy set must match utils/config.str2bool
+    (the heavy path's parser) or the same flag value would relay from entry
+    scripts but run locally under `python -m rohm_tpu.cli.<cmd>`."""
+    truthy = ("true", "1")
     out: list[str] = []
     found = False
     i = 0

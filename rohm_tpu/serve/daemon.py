@@ -31,7 +31,7 @@ import time
 import traceback
 
 from rohm_tpu.serve import DEFAULT_SOCKET
-from rohm_tpu.serve.protocol import recv_msg, send_msg
+from rohm_tpu.serve.protocol import encode, recv_msg, send_bytes, send_msg
 
 # inference + eval CLIs benefit from warm executables; the train CLIs are
 # long-running processes that amortize startup themselves
@@ -99,9 +99,18 @@ def serve(socket_path: str = DEFAULT_SOCKET, idle_timeout: float = 600.0,
     # documented tunnel-wedge failure mode). flock is held even while the
     # incumbent is busy serving, unlike a ping, and dies with its process.
     owner_fd = os.open(socket_path + ".owner", os.O_CREAT | os.O_RDWR, 0o600)
-    try:
-        fcntl.flock(owner_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    # Retry briefly: clients' liveness probes take a momentary LOCK_SH on
+    # this file (client.daemon_process_exists); a real incumbent holds
+    # LOCK_EX for its whole life. A transient probe must not make a booting
+    # daemon conclude it was displaced — only a lock still held after ~2 s
+    # of retries is a genuine owner.
+    for _ in range(40):
+        try:
+            fcntl.flock(owner_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
+            time.sleep(0.05)
+    else:
         os.close(owner_fd)
         print(f"[serve] a live daemon (possibly mid-request) owns "
               f"{socket_path}; exiting", flush=True)
@@ -140,12 +149,25 @@ def _serve_locked(socket_path: str, idle_timeout: float,
     try:
         while True:
             if time.monotonic() - last_req > idle_timeout:
-                print("[serve] idle timeout — releasing the device", flush=True)
-                return
-            try:
-                conn, _ = srv.accept()
-            except socket.timeout:
-                continue
+                # Final drain before exiting: a client that saw the socket
+                # connectable just before the deadline may already sit in
+                # the listener backlog — closing now would EOF its reply.
+                # If anything is queued, serve it (which resets last_req);
+                # only an empty backlog ends the daemon.
+                try:
+                    srv.settimeout(0.0)
+                    conn, _ = srv.accept()
+                except (socket.timeout, BlockingIOError, OSError):
+                    print("[serve] idle timeout — releasing the device",
+                          flush=True)
+                    return
+                finally:
+                    srv.settimeout(5.0)
+            else:
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
             with conn:
                 # accepted sockets are BLOCKING regardless of the listener's
                 # timeout; a silent client must not wedge the daemon (and its
@@ -166,7 +188,20 @@ def _serve_locked(socket_path: str, idle_timeout: float,
                         print("[serve] stop requested", flush=True)
                         return
                     elif op == "run":
-                        send_msg(conn, _handle_run(req))
+                        resp = _handle_run(req)
+                        try:
+                            payload = encode(resp)
+                        except Exception:
+                            # an unpicklable CLI return value must become an
+                            # error reply, not a swallowed exception that
+                            # leaves the client hanging until its timeout
+                            payload = encode({
+                                "ok": False, "result": None,
+                                "stdout": resp.get("stdout", ""),
+                                "error": "CLI result not picklable:\n"
+                                         + traceback.format_exc(),
+                            })
+                        send_bytes(conn, payload)
                         last_req = time.monotonic()
                     else:
                         send_msg(conn, {"ok": False, "error": f"bad op {op!r}"})

@@ -9,9 +9,19 @@ import struct
 _HDR = struct.Struct("<Q")
 
 
-def send_msg(sock: socket.socket, obj) -> None:
-    payload = pickle.dumps(obj, protocol=4)
+def encode(obj) -> bytes:
+    """Serialize separately from sending so a server can turn a pickling
+    failure into an error REPLY instead of a silent no-reply (which would
+    leave the waiting client blocked for its full timeout)."""
+    return pickle.dumps(obj, protocol=4)
+
+
+def send_bytes(sock: socket.socket, payload: bytes) -> None:
     sock.sendall(_HDR.pack(len(payload)) + payload)
+
+
+def send_msg(sock: socket.socket, obj) -> None:
+    send_bytes(sock, encode(obj))
 
 
 def recv_msg(sock: socket.socket):

@@ -132,6 +132,17 @@ def test_argv_via_server_forms():
     assert f(["--a=1"]) == (False, ["--a=1"])
 
 
+def test_argv_via_server_truthy_matches_str2bool():
+    """The light relay path and the heavy CLI parser must agree on which
+    values are truthy, or the same flag value would relay from entry scripts
+    but run locally under `python -m rohm_tpu.cli.<cmd>`."""
+    from rohm_tpu.utils.config import str2bool
+
+    f = sclient._argv_via_server
+    for val in ("true", "True", "1", "yes", "YES", "false", "0", "no", "on"):
+        assert f([f"--via_server={val}"])[0] == str2bool(val), val
+
+
 def test_maybe_relay_light_noops_inside_server(monkeypatch):
     """The env guard must stop in-daemon re-relaying (recursive spawn bug)."""
     monkeypatch.setenv("ROHM_TPU_IN_SERVER", "1")
