@@ -34,7 +34,12 @@ from rohm_tpu.serve import DEFAULT_SOCKET
 from rohm_tpu.serve.protocol import encode, recv_msg, send_bytes, send_msg
 
 # inference + eval CLIs benefit from warm executables; the train CLIs are
-# long-running processes that amortize startup themselves
+# long-running processes that amortize startup themselves.
+# INVARIANT: every served command must be IDEMPOTENT (safe to run twice with
+# the same argv — these all just overwrite their output pickles). The client
+# retries a lost connection once by re-sending the request (client.py
+# run_cli), which can re-execute a request whose reply was lost mid-send;
+# do not add a non-idempotent command here without removing that retry.
 ALLOWED_CMDS = (
     "test_amass_full", "test_trajnet", "test_posenet", "test_prox_egobody",
     "eval_amass_full", "eval_prox_egobody",
@@ -157,9 +162,13 @@ def _serve_locked(socket_path: str, idle_timeout: float,
                 try:
                     srv.settimeout(0.0)
                     conn, _ = srv.accept()
-                except (socket.timeout, BlockingIOError, OSError):
+                except BlockingIOError:  # the expected empty-backlog signal
                     print("[serve] idle timeout — releasing the device",
                           flush=True)
+                    return
+                except OSError as e:  # a real accept() failure, not idleness
+                    print(f"[serve] accept failed at idle deadline ({e!r}) "
+                          "— exiting", flush=True)
                     return
                 finally:
                     srv.settimeout(5.0)

@@ -11,13 +11,20 @@ from rohm_tpu.train.masking import (
     upper_body_mask,
 )
 from rohm_tpu.train.state import TrainState, create_train_state
-from rohm_tpu.train.steps import make_posenet_train_step, make_trajnet_train_step
+from rohm_tpu.train.steps import (
+    make_posenet_grads_fn,
+    make_posenet_train_step,
+    make_trajnet_grads_fn,
+    make_trajnet_train_step,
+)
 
 __all__ = [
     "TrainState",
     "create_train_state",
     "make_trajnet_train_step",
     "make_posenet_train_step",
+    "make_trajnet_grads_fn",
+    "make_posenet_grads_fn",
     "traj_infill_mask",
     "random_joint_mask",
     "lower_body_mask",

@@ -46,6 +46,49 @@ def _shardings(mesh: Mesh | None):
     return {"rep": rep, "data": data}
 
 
+def make_trajnet_grads_fn(
+    model,
+    sched: DiffusionSchedule,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    body_model: SmplxModel,
+    loss_weights: dict,
+    repr_abs_only: bool = True,
+    traj_feat_dim: int = 13,
+) -> Callable:
+    """grads_and_losses(params, batch, t, noise) -> (grads, loss_dict).
+
+    The exact per-step training math (q_sample slicing -> model forward ->
+    SMPL-X-in-the-loop losses -> parameter gradients) with t and the q_sample
+    noise as explicit inputs — the unit make_trajnet_train_step wraps and
+    tests/test_train_parity.py compares against the real reference
+    training_losses (gaussian_diffusion_trajnet.py:857-875 through
+    model/trajnet.py:278-400) at identical weights/batch/t/noise.
+    """
+
+    def grads_and_losses(params, batch: dict, t: jnp.ndarray, noise: jnp.ndarray):
+        clean = batch["motion_repr_clean"]
+        # q_sample runs on the FIRST traj_feat_dim dims of the clean repr —
+        # the reference does this even in abs-only mode where the model's
+        # output is interpreted as the scattered abs-dims
+        # (gaussian_diffusion_trajnet.py:869-872 vs model/trajnet.py:292-297).
+        x0 = clean[..., :traj_feat_dim]
+        x_t = q_sample(sched, x0, t, noise)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, x_t, batch["cond"], t, control_cond=batch.get("control_cond")
+            )
+            losses = trajnet_losses(
+                out, clean, mean, std, body_model, loss_weights, repr_abs_only
+            )
+            return losses["loss"], losses
+
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    return grads_and_losses
+
+
 def make_trajnet_train_step(
     model,
     sched: DiffusionSchedule,
@@ -61,30 +104,19 @@ def make_trajnet_train_step(
 
     batch keys: motion_repr_clean [B,T,294], cond [B,T,traj_feat_dim],
     optionally control_cond [B,T,272] (TrajControl fine-tuning).
-    q_sample runs on the FIRST traj_feat_dim dims of the clean repr — the
-    reference does this even in abs-only mode where the model's output is
-    interpreted as the scattered abs-dims (gaussian_diffusion_trajnet.py:869-872
-    vs model/trajnet.py:292-297); we reproduce that exactly.
     """
+    grads_and_losses = make_trajnet_grads_fn(
+        model, sched, mean, std, body_model, loss_weights, repr_abs_only, traj_feat_dim
+    )
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         t_key, n_key = jax.random.split(key)
         clean = batch["motion_repr_clean"]
-        x0 = clean[..., :traj_feat_dim]
         t = _timesteps(t_key, clean.shape[0], sched.num_timesteps)
-        noise = jax.random.normal(n_key, x0.shape, x0.dtype)
-        x_t = q_sample(sched, x0, t, noise)
-
-        def loss_fn(params):
-            out = model.apply(
-                params, x_t, batch["cond"], t, control_cond=batch.get("control_cond")
-            )
-            losses = trajnet_losses(
-                out, clean, mean, std, body_model, loss_weights, repr_abs_only
-            )
-            return losses["loss"], losses
-
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        noise = jax.random.normal(
+            n_key, clean[..., :traj_feat_dim].shape, clean.dtype
+        )
+        grads, losses = grads_and_losses(state.params, batch, t, noise)
         return state.apply_gradients(grads), losses
 
     if mesh is None:
@@ -98,7 +130,7 @@ def make_trajnet_train_step(
     )
 
 
-def make_posenet_train_step(
+def make_posenet_grads_fn(
     model,
     sched: DiffusionSchedule,
     mean: jnp.ndarray,
@@ -108,11 +140,13 @@ def make_posenet_train_step(
     mesh: Mesh | None = None,
     fused_train: str | None = None,
 ) -> Callable:
-    """step(state, batch, key, skating_active) -> (state, loss_dict).
+    """grads_and_losses(params, batch, t, noise, drop_key, skating_active).
 
-    batch keys: motion_repr_clean [B,T,294], cond [B,T,294] (masked).
-    q_sample covers the full 294-d repr (gaussian_diffusion_posenet.py:905-907).
-    skating_active gates the foot-skating loss (start_skating_loss_epoch).
+    The exact per-step training math (full-294-d q_sample -> model forward ->
+    losses -> gradients) with t and the q_sample noise as explicit inputs —
+    make_posenet_train_step wraps this and tests/test_train_parity.py compares
+    it against the real reference training_losses
+    (gaussian_diffusion_posenet.py:892-910 through model/posenet.py:99-193).
 
     fused_train: "bfloat16" / "float32" runs the encoder stack through the
     custom-VJP fused Pallas layers (ops/transformer_layer_train.py) with that
@@ -153,14 +187,12 @@ def make_posenet_train_step(
                 params, x_t, cond, t, train=True, rngs={"dropout": drop_key}
             )
 
-    def step(state: TrainState, batch: dict, key: jax.Array, skating_active: jnp.ndarray):
-        t_key, n_key, d_key = jax.random.split(key, 3)
+    def grads_and_losses(
+        params, batch: dict, t: jnp.ndarray, noise: jnp.ndarray,
+        drop_key: jax.Array, skating_active,
+    ):
         clean = batch["motion_repr_clean"]
-        t = _timesteps(t_key, clean.shape[0], sched.num_timesteps)
-        noise = jax.random.normal(n_key, clean.shape, clean.dtype)
         x_t = q_sample(sched, clean, t, noise)
-
-        drop_key = _rbg_dropout_key(d_key)
 
         def loss_fn(params):
             out = apply_fn(params, x_t, batch["cond"], t, drop_key)
@@ -170,7 +202,38 @@ def make_posenet_train_step(
             )
             return losses["loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    return grads_and_losses
+
+
+def make_posenet_train_step(
+    model,
+    sched: DiffusionSchedule,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    body_model: SmplxModel,
+    loss_weights: dict,
+    mesh: Mesh | None = None,
+    fused_train: str | None = None,
+) -> Callable:
+    """step(state, batch, key, skating_active) -> (state, loss_dict).
+
+    batch keys: motion_repr_clean [B,T,294], cond [B,T,294] (masked).
+    skating_active gates the foot-skating loss (start_skating_loss_epoch).
+    """
+    grads_and_losses = make_posenet_grads_fn(
+        model, sched, mean, std, body_model, loss_weights, mesh, fused_train
+    )
+
+    def step(state: TrainState, batch: dict, key: jax.Array, skating_active: jnp.ndarray):
+        t_key, n_key, d_key = jax.random.split(key, 3)
+        clean = batch["motion_repr_clean"]
+        t = _timesteps(t_key, clean.shape[0], sched.num_timesteps)
+        noise = jax.random.normal(n_key, clean.shape, clean.dtype)
+        grads, losses = grads_and_losses(
+            state.params, batch, t, noise, _rbg_dropout_key(d_key), skating_active
+        )
         return state.apply_gradients(grads), losses
 
     if mesh is None:
