@@ -118,3 +118,42 @@ def test_eval_mask():
     vis = posenet_eval_cond_mask(rng, 4, 32, input_noise=True)
     assert vis.shape == (4, 32, BODY_FEAT_DIM)
     assert (vis[..., -4:] == 0).all()
+
+
+def test_amass_eval_pose_mask_matches_reference_index_formulas():
+    """amass_eval_pose_mask vs the reference's hand-written index arithmetic
+    (test_amass_full.py:336-368), element-for-element on all three schemes.
+
+    This is the load-bearing structural check for the eval cond assembly:
+    the full-pipeline parity tests can't pin it through the guided chains
+    (chaotic at state-eps scale, see tests/test_e2e_parity.py), so the mask
+    content is proven here directly."""
+    from rohm_tpu.pipeline import amass_eval_pose_mask
+
+    B, T = 3, 15
+
+    def ref_mask(scheme, start=None, length=None):
+        cond = np.ones((B, T, 294), np.float32)
+        if scheme in ("lower", "upper"):
+            ids = np.asarray(
+                [1, 2, 4, 5, 7, 8, 10, 11] if scheme == "lower"
+                else [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20]
+            )
+            for k in range(3):
+                cond[:, :, 22 + ids * 3 + k] = 0.0
+            for k in range(3):
+                cond[:, :, 22 + 66 + ids * 3 + k] = 0.0
+            for k in range(6):
+                cond[:, :, 22 + 132 + (ids - 1) * 6 + k] = 0.0
+            cond[:, :, -4:] = 0.0
+        else:  # 'full': fixed window over all pose dims (infill setup)
+            cond[:, :, -4:] = 0.0
+            for idx in range(B):
+                cond[idx, start:start + length, 22:] = 0.0
+        return cond
+
+    for scheme in ("lower", "upper"):
+        mine = amass_eval_pose_mask(scheme, B, T)
+        np.testing.assert_array_equal(mine, ref_mask(scheme), err_msg=scheme)
+    mine = amass_eval_pose_mask("full", B, T, window_start=np.full(B, 7), window_len=3)
+    np.testing.assert_array_equal(mine, ref_mask("full", 7, 3), err_msg="full")
