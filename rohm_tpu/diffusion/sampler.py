@@ -172,11 +172,13 @@ def ddim_sample_loop(
     eta: float = 0.0,
     noise: jnp.ndarray | None = None,
     dtype=jnp.float32,
+    step_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """DDIM reverse chain as one scan (reference keeps ddim loops at
     gaussian_diffusion_*.py:630-854 for 'ddimN' respacing; eta=0 =
     deterministic). Use with a respaced schedule (make_schedule(...,
-    timestep_respacing='ddimN'))."""
+    timestep_respacing='ddimN')). step_noise [num_timesteps, *shape] replays
+    a fixed per-step noise realization (only consumed when eta > 0)."""
     timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1)
     if noise is None:
         nkey = jax.random.fold_in(key, sched.num_timesteps)
@@ -201,8 +203,11 @@ def ddim_sample_loop(
             jnp.sqrt(acp_prev) * pred_x0
             + jnp.sqrt(jnp.maximum(1.0 - acp_prev - sigma**2, 0.0)) * eps
         )
-        step_key = jax.random.fold_in(key, t)
-        noise_t = jax.random.normal(step_key, shape, dtype)
+        if step_noise is not None:
+            noise_t = step_noise[t].astype(dtype)
+        else:
+            step_key = jax.random.fold_in(key, t)
+            noise_t = jax.random.normal(step_key, shape, dtype)
         nonzero = (t != 0).astype(dtype)
         return mean + nonzero * sigma * noise_t, None
 

@@ -277,10 +277,25 @@ def _split_torch(ref, arr):
     return d
 
 
-def run_reference(ref, models, twin, data, noise, sample_iter=2):
-    """test_amass_full.py:231-429 for the AMASS 'lower'-mask config
-    (input_noise=True, iter2_cond_noisy_{traj,pose}=True, infill_traj=False,
-    cond_fn_with_grad=True, early_stop=False, repr_abs_only=True)."""
+TRAJ_MASK_START = 7  # tiny-scale analog of the fixed frame-65 infill window
+TRAJ_MASK_LEN = 3  # (reference test_amass_full.py:218-229: 65..65+int(0.1*145))
+
+
+def run_reference(
+    ref, models, twin, data, noise, sample_iter=2,
+    mask_scheme="lower", infill_traj=False, iter2_cond_noisy_traj=True,
+):
+    """test_amass_full.py:200-429 mirrored statement-by-statement.
+
+    Default arguments = the AMASS 'lower'-mask config (input_noise=True,
+    iter2_cond_noisy_{traj,pose}=True, infill_traj=False,
+    cond_fn_with_grad=True, early_stop=False, repr_abs_only=True).
+    mask_scheme='full', infill_traj=True, iter2_cond_noisy_traj=False is the
+    SHIPPED flagship config (cfg_files/test_cfg/amass_occ_0.1_noise_3.yaml,
+    the configuration the paper's Table-1 numbers are computed from): fixed
+    traj infill window (test_amass_full.py:218-229) reused as the full-body
+    pose mask window (:361-368), traj cond for iter>0 = previous prediction
+    (:280-281)."""
     args_ns = types.SimpleNamespace(noise_schedule="cosine", sigma_small=True)
     diff_pose = ref.model_util.create_gaussian_diffusion(
         args_ns, gd=ref.gd_pose, return_class=ref.SpacedDiffusionPoseNet,
@@ -308,7 +323,23 @@ def run_reference(ref, models, twin, data, noise, sample_iter=2):
     val_output_pose = val_output_traj = traj_noisy_full = None
     out = {}
 
+    # ---------------- traj infill mask (:218-229): fixed window, cond zeroed
+    mask_traj = None
+    if infill_traj:
+        mask_traj = torch.ones(B, T_TRAJ)
+        mask_traj[:, TRAJ_MASK_START:TRAJ_MASK_START + TRAJ_MASK_LEN] = 0
+        mask_traj = mask_traj.unsqueeze(-1).repeat(1, 1, traj_feat_dim)
+        tbt["cond"][:, :, 0:traj_feat_dim] = tbt["cond"][:, :, 0:traj_feat_dim] * mask_traj
+
     for iter_idx in range(sample_iter):
+        # iter>0 with iter2_cond_noisy_traj + infill: noisy visible + predicted
+        # occluded (:233-237); the not-iter2_cond_noisy_traj case is handled
+        # below at :280-281's position
+        if iter_idx > 0 and iter2_cond_noisy_traj and infill_traj:
+            traj_vis = tbt["cond"][:, :, 0:traj_feat_dim] * mask_traj
+            traj_occ = val_output_traj * (1 - mask_traj)
+            tbt["cond"][:, :, 0:traj_feat_dim] = traj_vis + traj_occ
+
         # ---------------- TrajNet forward (:239-266)
         shape = list(tbt["motion_repr_clean"][:, :, 0:traj_feat_dim].shape)
         feed = [noise["traj_init"][iter_idx]] + [
@@ -341,6 +372,9 @@ def run_reference(ref, models, twin, data, noise, sample_iter=2):
         m[..., 16:19] = val_output_traj[..., 10:13]
         if iter_idx == 0:
             tbt["motion_repr_noisy"] = m
+        if iter_idx < sample_iter - 1 and not iter2_cond_noisy_traj:
+            # next iteration's TrajNet conditions on this prediction (:280-281)
+            tbt["cond"] = val_output_traj.detach().clone()
         m = m.detach().numpy() * Std + Mean
 
         # ---------------- re-encode bridge (:285-311)
@@ -372,20 +406,33 @@ def run_reference(ref, models, twin, data, noise, sample_iter=2):
             traj_rec_full.append(new_repr[:, 0:22])
         traj_rec_full = torch.tensor(np.asarray(traj_rec_full))
 
-        # ---------------- PoseNet cond assembly + lower mask (:313-368)
+        # ---------------- PoseNet cond assembly + occlusion masks (:313-368)
         if iter_idx == 0:
             tbp["motion_repr_noisy"] = tbp["motion_repr_noisy"][:, 0:-1]
             tbp["motion_repr_clean"] = tbp["motion_repr_clean"][:, 0:-1]
         tbp["cond"] = tbp["motion_repr_noisy"].clone()  # iter2_cond_noisy_pose
         tbp["cond"][:, :, 0:22] = traj_rec_full
-        mask_joint_id = np.asarray([1, 2, 4, 5, 7, 8, 10, 11])
-        for k in range(3):
-            tbp["cond"][:, :, 22 + mask_joint_id * 3 + k] = 0.0
-        for k in range(3):
-            tbp["cond"][:, :, 22 + 22 * 3 + mask_joint_id * 3 + k] = 0.0
-        for k in range(6):
-            tbp["cond"][:, :, 22 + 22 * 3 + 22 * 3 + (mask_joint_id - 1) * 6 + k] = 0.0
-        tbp["cond"][:, :, -4:] = 0.0
+        if mask_scheme in ("lower", "upper"):
+            mask_joint_id = np.asarray(
+                [1, 2, 4, 5, 7, 8, 10, 11] if mask_scheme == "lower"
+                else [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20]  # :352-353
+            )
+            for k in range(3):
+                tbp["cond"][:, :, 22 + mask_joint_id * 3 + k] = 0.0
+            for k in range(3):
+                tbp["cond"][:, :, 22 + 22 * 3 + mask_joint_id * 3 + k] = 0.0
+            for k in range(6):
+                tbp["cond"][:, :, 22 + 22 * 3 + 22 * 3 + (mask_joint_id - 1) * 6 + k] = 0.0
+            tbp["cond"][:, :, -4:] = 0.0
+        elif mask_scheme == "full":
+            # with infill_traj the window is the SAME fixed traj window
+            # (start/end persist from :224-227 into :361-368)
+            assert infill_traj, "harness supports 'full' only in the shipped infill setup"
+            tbp["cond"][:, :, -4:] = 0.0
+            for idx in range(B):
+                tbp["cond"][idx, TRAJ_MASK_START:TRAJ_MASK_START + TRAJ_MASK_LEN, 22:] = 0.0
+        else:
+            raise ValueError(mask_scheme)
 
         tbp["cond"] = torch.permute(tbp["cond"], (0, 2, 1)).unsqueeze(-2)
         if iter_idx == 0:
@@ -438,7 +485,10 @@ def run_reference(ref, models, twin, data, noise, sample_iter=2):
     return out
 
 
-def run_jax(flax_params, body, data, noise, sample_iter=2, intermediates=True):
+def run_jax(
+    flax_params, body, data, noise, sample_iter=2, intermediates=True,
+    mask_scheme="lower", infill_traj=False, iter2_cond_noisy_traj=True,
+):
     """The same config through RohmPipeline + this framework's decoders."""
     model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=MID)
     model_trajcontrol = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=MID, trajcontrol=True)
@@ -452,14 +502,23 @@ def run_jax(flax_params, body, data, noise, sample_iter=2, intermediates=True):
         body_model=body,
         mean=jnp.asarray(data.mean), std=jnp.asarray(data.std),
         repr_abs_only=True, traj_feat_dim=13, sample_iter=sample_iter,
-        grad_type="amass", mask_scheme="lower", input_noise=True,
-        iter2_cond_noisy_pose=True, iter2_cond_noisy_traj=True,
+        grad_type="amass", mask_scheme=mask_scheme, input_noise=True,
+        iter2_cond_noisy_pose=True, iter2_cond_noisy_traj=iter2_cond_noisy_traj,
+        infill_traj=infill_traj,
     )
-    pose_mask = amass_eval_pose_mask("lower", B, T_POSE)
     traj_mask = np.ones((B, T_TRAJ), np.float32)
+    traj_cond = data.traj_cond
+    if infill_traj:
+        traj_mask[:, TRAJ_MASK_START:TRAJ_MASK_START + TRAJ_MASK_LEN] = 0.0
+        traj_cond = traj_cond * traj_mask[..., None]  # infill mask pre-applied
+    pose_mask = amass_eval_pose_mask(
+        mask_scheme, B, T_POSE,
+        window_start=np.full(B, TRAJ_MASK_START) if mask_scheme == "full" else None,
+        window_len=TRAJ_MASK_LEN,
+    )
     preset = {k: v[:sample_iter] for k, v in noise.items()}
     val_pose, val_traj = pipeline.run_batch(
-        data.traj_cond, data.traj_clean, data.pose_noisy, pose_mask,
+        traj_cond, data.traj_clean, data.pose_noisy, pose_mask,
         traj_mask, jax.random.PRNGKey(0), preset_noise=preset,
     )
     val_pose = np.asarray(val_pose)
@@ -478,7 +537,7 @@ def run_jax(flax_params, body, data, noise, sample_iter=2, intermediates=True):
         pipe1 = dataclasses.replace(pipeline, sample_iter=1)
         preset1 = {k: v[:1] for k, v in noise.items()}
         pose_i0, traj_i0 = pipe1.run_batch(
-            data.traj_cond, data.traj_clean, data.pose_noisy, pose_mask,
+            traj_cond, data.traj_clean, data.pose_noisy, pose_mask,
             traj_mask, jax.random.PRNGKey(0), preset_noise=preset1,
         )
         bridge_i0 = traj_to_pose_bridge(
@@ -655,6 +714,146 @@ def test_metric_parity(results):
         assert rel < 1e-2 or abs(a - b) < 1e-6, (
             f"metric {k} parity broken: ref {a} vs jax {b} (rel {rel})"
         )
+
+
+# --------------------------------------------------------------------------
+# SHIPPED flagship config: infill_traj=True + mask_scheme='full'
+# (cfg_files/test_cfg/amass_occ_0.1_noise_3.yaml — the paper's Table-1 config)
+# and the 'upper' mask scheme (test_amass_full.py:351-359)
+# --------------------------------------------------------------------------
+
+
+SHIPPED_CFG = dict(mask_scheme="full", infill_traj=True, iter2_cond_noisy_traj=False)
+UPPER_CFG = dict(mask_scheme="upper", infill_traj=False, iter2_cond_noisy_traj=True)
+
+
+@pytest.fixture(scope="module")
+def results_shipped(ref, torch_models, twin, flax_params, body, data, noise):
+    ref_out = run_reference(ref, torch_models, twin, data, noise, **SHIPPED_CFG)
+    jax_out = run_jax(flax_params, body, data, noise, **SHIPPED_CFG)
+    return ref_out, jax_out
+
+
+@pytest.fixture(scope="module")
+def results_upper(ref, torch_models, twin, flax_params, body, data, noise):
+    ref_out = run_reference(ref, torch_models, twin, data, noise, **UPPER_CFG)
+    jax_out = run_jax(flax_params, body, data, noise, **UPPER_CFG)
+    return ref_out, jax_out
+
+
+def _pipeline_metrics(o):
+    from rohm_tpu.evals.metrics import (
+        accel_error, contact_label_accuracy, mpjpe_global, skating_ratio,
+    )
+
+    return {
+        "mpjpe_from_smpl": mpjpe_global(o["rec_ric_data_clean"], o["rec_ric_data_rec_from_smpl"]),
+        "mpjpe_from_abs": mpjpe_global(o["rec_ric_data_clean"], o["rec_ric_data_rec_from_abs_traj"]),
+        "accel_err": accel_error(o["rec_ric_data_clean"], o["rec_ric_data_rec_from_smpl"]),
+        "contact_acc": contact_label_accuracy(o["motion_repr_clean"], o["motion_repr_rec"]),
+        "skating": skating_ratio(o["rec_ric_data_rec_from_smpl"]),
+    }
+
+
+def _assert_pipeline_parity(ref_out, jax_out, jax_pert, label, metric_rtol):
+    """Gate structure for the guidance-chaotic configs: tight on every
+    deterministic-input stage (iter-0 TrajNet chain, re-encode bridge — these
+    prove the cond assembly, infill masking, and scheme masks are identical),
+    chaos-controlled on the guided pose chains, metric-gated at the end.
+
+    Why the pose chains cannot be gated tightly here: with the upper/full
+    masks the random-weight model reconstructs wild motion, and the amass
+    skating guidance's DISCRETE thresholds (contact>0.5 from the current
+    sample, vel>0.1 m/s — reference posenet.py:217-231) sit on knife edges
+    (with a TRAINED model contact outputs saturate near 0/1, so production
+    chains are far from these edges). Measured (2026-08-19): the UNGUIDED
+    1000-step chain matches across frameworks to 8.3e-07 on identical cond;
+    the GUIDED chain diverges to max 0.98 / mean 0.056 from a 1e-06
+    perturbation of its own INIT STATE (threshold flips) — the same
+    magnitude as the cross-framework delta (max 0.86 / mean 0.096). The
+    chain is chaotic at machine-epsilon scale in its state, which is exactly
+    how f32 implementation differences enter. The decisive check is
+    therefore the self-sensitivity inequality: torch-vs-jax must not exceed
+    the pipeline's own divergence under an eps-scale state change."""
+    d0t = _maxdiff(ref_out["traj_iter0"], jax_out["traj_iter0"])
+    db = _maxdiff(ref_out["bridge_iter0"], jax_out["bridge_iter0"])
+    d0p = np.abs(ref_out["pose_iter0"] - jax_out["pose_iter0"])
+    dt = _maxdiff(ref_out["traj_iter1"], jax_out["traj_final"])
+    dp = np.abs(ref_out["pose_iter1"] - jax_out["pose_final"])
+    d_self = np.abs(jax_out["pose_final"] - jax_pert["pose_final"])
+    print(
+        f"[parity:{label}] iter0 traj={d0t:.2e} bridge={db:.2e} "
+        f"pose mean={d0p.mean():.2e} final traj={dt:.2e} "
+        f"pose mean={dp.mean():.2e} self-sens mean={d_self.mean():.2e}"
+    )
+    assert d0t < 1e-4, f"{label}: TrajNet iter-0 chain diverged: {d0t}"
+    assert db < 2e-3, f"{label}: re-encode bridge diverged: {db}"
+    for k in ("traj_final", "pose_final"):
+        assert np.isfinite(jax_out[k]).all(), f"{label}: {k} not finite"
+    # chaos control: cross-framework delta must sit at/below the chain's own
+    # sensitivity to an eps-scale input change (same structure as
+    # test_cross_framework_delta_below_self_sensitivity)
+    assert dp.mean() < 2.0 * max(d_self.mean(), 1e-6), (
+        f"{label}: cross-framework pose delta {dp.mean()} EXCEEDS the "
+        f"chain's own eps-perturbation sensitivity {d_self.mean()} — a real "
+        "implementation divergence, not chaos"
+    )
+
+    m_ref, m_jax = _pipeline_metrics(ref_out), _pipeline_metrics(jax_out)
+    for k in m_ref:
+        a, b = float(m_ref[k]), float(m_jax[k])
+        rel = abs(a - b) / max(abs(a), 1e-9)
+        print(f"[parity:{label}] metric {k}: ref={a:.6f} jax={b:.6f} rel={rel:.2e}")
+        assert rel < metric_rtol or abs(a - b) < 1e-6, (
+            f"{label}: metric {k} parity broken: ref {a} vs jax {b} (rel {rel})"
+        )
+
+
+def _perturbed_jax(flax_params, body, data, noise, cfg):
+    """The self-sensitivity control: rerun the jax pipeline with the pose
+    chains' INIT STATE (x_T) perturbed at machine-eps scale (1e-6) — the
+    lever through which f32 implementation differences actually enter a
+    reverse chain. Cond perturbations are the wrong lever here: they enter
+    smoothly (measured 1e-6 cond -> 1e-4 output) while state perturbations
+    cross the discrete guidance thresholds (measured 1e-6 state -> 0.98)."""
+    rng = np.random.default_rng(7)
+    pert_noise = dict(noise)
+    pert_noise["pose_init"] = noise["pose_init"] + np.float32(1e-6) * (
+        rng.standard_normal(noise["pose_init"].shape).astype(np.float32)
+    )
+    return run_jax(flax_params, body, data, pert_noise, intermediates=False, **cfg)
+
+
+@pytest.fixture(scope="module")
+def shipped_pert(flax_params, body, data, noise):
+    return _perturbed_jax(flax_params, body, data, noise, SHIPPED_CFG)
+
+
+@pytest.fixture(scope="module")
+def upper_pert(flax_params, body, data, noise):
+    return _perturbed_jax(flax_params, body, data, noise, UPPER_CFG)
+
+
+def test_shipped_config_pipeline_parity(results_shipped, shipped_pert):
+    """The EXACT configuration of the paper's Table-1 numbers
+    (amass_occ_0.1_noise_3.yaml): fixed traj infill window [7,10) (production:
+    frames 65..65+14), mask_scheme='full' reusing the same window on the pose
+    dims, iter>0 TrajNet conditioned on its previous prediction
+    (iter2_cond_noisy_traj=False). Covers the two driver branches the
+    lower-mask harness never exercised: the traj-infill cond masking
+    (test_amass_full.py:218-229) and the prediction-fed TrajControl cond
+    (:280-281)."""
+    ref_out, jax_out = results_shipped
+    _assert_pipeline_parity(ref_out, jax_out, shipped_pert,
+                            "shipped-full-infill", metric_rtol=0.15)
+
+
+def test_upper_mask_pipeline_parity(results_upper, upper_pert):
+    """mask_scheme='upper' (test_amass_full.py:351-359: joints 3,6,9,12-20
+    zeroed in positions/velocities/rot6d plus contact dims) through the full
+    2-iteration pipeline."""
+    ref_out, jax_out = results_upper
+    _assert_pipeline_parity(ref_out, jax_out, upper_pert, "upper", metric_rtol=0.15)
 
 
 # --------------------------------------------------------------------------
