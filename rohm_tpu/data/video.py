@@ -281,7 +281,7 @@ class VideoClipDataset:
 
         df = pd.read_csv(os.path.join(base_dir, "egobody_rohm_info.csv"))
         row = df[df["recording_name"] == self.recording_name].iloc[0]
-        self.view = row["view"]
+        self.kinect_view = row["view"]  # NOT `self.view` — that would shadow the view() method
         self.body_idx = int(row["target_idx"])
         self.scene_name = row["scene_name"]
         self.gender_gt = row["target_gender"]
@@ -303,8 +303,8 @@ class VideoClipDataset:
         with open(os.path.join(calib_dir, "cal_trans", "kinect12_to_world",
                                self.scene_name + ".json")) as f:
             master2world = np.asarray(json.load(f)["trans"])
-        if self.view != "master":
-            sub_kinect = {"sub_1": 11, "sub_2": 13, "sub_3": 14, "sub_4": 15}[self.view]
+        if self.kinect_view != "master":
+            sub_kinect = {"sub_1": 11, "sub_2": 13, "sub_3": 14, "sub_4": 15}[self.kinect_view]
             with open(os.path.join(calib_dir, "cal_trans",
                                    f"kinect_{sub_kinect}to12_color.json")) as f:
                 sub2master = np.asarray(json.load(f)["trans"])
@@ -313,7 +313,7 @@ class VideoClipDataset:
             cam2world = master2world
         self.cam_r = cam2world[:3, :3]
         self.cam_t = cam2world[:3, 3]
-        with open(os.path.join(base_dir, "kinect_cam_params", f"kinect_{self.view}",
+        with open(os.path.join(base_dir, "kinect_cam_params", f"kinect_{self.kinect_view}",
                                "Color.json")) as f:
             self.color_cam = json.load(f)
 
@@ -333,7 +333,7 @@ class VideoClipDataset:
             keypoints.append(
                 _load_keypoints(
                     os.path.join(base_dir, "keypoints_cleaned", self.recording_name,
-                                 self.view, name + "_keypoints.json"),
+                                 self.kinect_view, name + "_keypoints.json"),
                     self.body_idx, self.joints_num,
                 )
             )
@@ -347,7 +347,7 @@ class VideoClipDataset:
         )
         keypoints = np.stack(keypoints)
         joint_mask = np.load(
-            os.path.join(base_dir, "mask_joint", self.recording_name, self.view, "mask_joint.npy")
+            os.path.join(base_dir, "mask_joint", self.recording_name, self.kinect_view, "mask_joint.npy")
         )[:, : self.joints_num]
 
         self._cut_windows(

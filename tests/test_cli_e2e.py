@@ -221,3 +221,71 @@ def test_amass_full_cli_data_parallel(tmp_path, monkeypatch):
         saved = pickle.load(f)
     assert saved["rec_ric_data_rec_list_from_smpl"].shape == (3, 15, 22, 3)
     assert np.isfinite(saved["motion_repr_rec_list"]).all()
+
+
+def test_egobody_cli_runs_and_evals(tmp_path, monkeypatch, capsys):
+    """Golden EgoBody end-to-end: the real test_prox_egobody driver with
+    --dataset=egobody on a synthetic EgoBody tree (y-up canonicalization,
+    kinect calibration chain, gendered GT in the master frame — reference
+    dataloader_video.py:233-259), chained into the real eval_prox_egobody
+    CLI (G-MPJPE/MPJPE vs GT in scene coords + the 4-number mm line,
+    reference eval_prox_egobody.py:229-254, 486-490)."""
+    from rohm_tpu.body import synthetic_model
+    from rohm_tpu.cli import eval_prox_egobody as eval_cli
+    from rohm_tpu.cli import test_prox_egobody as cli
+    from rohm_tpu.data import AmassClipDataset, synthetic_amass_arrays, write_synthetic_egobody
+
+    clip_len = 17
+    rec = "recording_20211004_S12_S20_01"
+    body = synthetic_model(num_verts=64)
+    init_root = str(tmp_path / "init")
+    base_dir = str(tmp_path / "base")
+    write_synthetic_egobody(init_root, base_dir, body, recording_name=rec,
+                            n_frames=40, seed=0)
+    clips = synthetic_amass_arrays(body, n_clips=2, clip_len=clip_len, seed=1)
+    logdir = tmp_path / "ckpt"
+    AmassClipDataset(body_model=body, split="train", clip_len=clip_len,
+                     input_noise=False, task="pose", logdir=str(logdir), clips=clips)
+
+    monkeypatch.chdir(tmp_path)  # synthetic body-model fallback
+    pkl_path = cli.main([
+        "--dataset=egobody",
+        f"--dataset_root={base_dir}",
+        f"--init_root={init_root}",
+        f"--recording_name={rec}",
+        f"--clip_len={clip_len}",
+        "--batch_size=2",
+        "--diffusion_steps_posenet=8",
+        "--diffusion_steps_trajnet=5",
+        "--mid_dim=64",
+        "--latent_dim=32",
+        f"--model_path_posenet={logdir / 'model000000001'}",
+        "--allow_missing_ckpt=True",
+        f"--save_root={tmp_path / 'results'}",
+        "--use_scene_floor_height=False",
+        "--seed=0",
+    ])
+    with open(pkl_path, "rb") as f:
+        saved = pickle.load(f)
+    t_out = clip_len - 2
+    n = saved["motion_repr_rec_list"].shape[0]
+    assert n >= 2
+    assert saved["gender_gt"] == "female"  # gendered-GT metadata travels
+    # GT joints stay at input-frame resolution (clip_len frames/window);
+    # the eval crops them to the t_out rec frames
+    assert saved["joints_gt_scene_coord_list"].shape == (n, clip_len, 22, 3)
+    assert saved["rec_ric_data_rec_list_from_smpl"].shape == (n, t_out, 22, 3)
+    assert np.isfinite(saved["joints_gt_scene_coord_list"]).all()
+
+    # chain into the real eval CLI ('all'-style aggregation over the
+    # recording list; G-MPJPE line printed in mm)
+    agg = eval_cli.main([
+        "--dataset=egobody",
+        f"--saved_data_dir={os.path.dirname(pkl_path)}",
+        f"--recording_list={rec}",
+    ])
+    out = capsys.readouterr().out
+    assert "gmpjpe/mpjpe" in out
+    for k in ("gmpjpe", "mpjpe", "mpjpe_vis", "skating", "acc_error",
+              "pene_freq", "pene_dist"):
+        assert k in agg and np.isfinite(float(agg[k])), (k, agg)
