@@ -328,8 +328,19 @@ def main(argv=None):
             out[pickle_key[k]].append(np.asarray(v)[:valid])
 
     pending = []
-    pose_batches = test_pose_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
-    traj_batches = test_traj_dataset.batches(args.batch_size, shuffle=False, drop_last=False, pad_last=True)
+    # tail batches pad to a power-of-two bucket, not full batch_size: a
+    # 135-clip eval at bs=64 computes 64+64+8 clips instead of 64x3 (the
+    # padded-full tail was ~30% of the warm e2e device time). pad_multiple
+    # keeps the bucket divisible by the data-parallel mesh.
+    pad_multiple = (
+        len(jax.devices())
+        if args.data_parallel and len(jax.devices()) > 1
+        else 1
+    )
+    batch_kw = dict(shuffle=False, drop_last=False, pad_last="bucket",
+                    pad_multiple=pad_multiple)
+    pose_batches = test_pose_dataset.batches(args.batch_size, **batch_kw)
+    traj_batches = test_traj_dataset.batches(args.batch_size, **batch_kw)
     for step, (bp, bt) in enumerate(zip(pose_batches, traj_batches)):
         if args.max_batches and step >= args.max_batches:
             break

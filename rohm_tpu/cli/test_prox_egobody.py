@@ -186,8 +186,10 @@ def main(argv=None):
         out["mask_joint_vis_list"].append(bp["mask_joint_vis"][:v, : t_repr - 1])
 
     pending = []
-    pose_batches = test_pose_dataset.batches(args.batch_size, pad_last=True)
-    traj_batches = test_traj_dataset.batches(args.batch_size, pad_last=True)
+    # power-of-two tail buckets: don't pay full-batch device compute for a
+    # short final window batch (see test_amass_full.py)
+    pose_batches = test_pose_dataset.batches(args.batch_size, pad_last="bucket")
+    traj_batches = test_traj_dataset.batches(args.batch_size, pad_last="bucket")
     for step, (bp, bt) in enumerate(zip(pose_batches, traj_batches)):
         if args.max_batches and step >= args.max_batches:
             break

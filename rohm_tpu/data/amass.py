@@ -243,6 +243,16 @@ class AmassClipDataset:
         joints_clips = joints_clips[::spacing]
         params_clips = params_clips[::spacing]
         self.n_samples = len(joints_clips)
+        if self.n_samples == 0:
+            # fail loudly here: downstream the empty tree surfaces as a
+            # cryptic "need at least one array to concatenate" from the
+            # chunked FK/encode
+            raise ValueError(
+                f"no {clip_len}-frame clips found under "
+                f"{preprocessed_amass_root!r} (datasets={amass_datasets}, "
+                f"split={split!r}) — missing/empty tree, wrong dataset_root, "
+                "or every sequence shorter than clip_len"
+            )
 
         # --- canonicalize every clip (host; cheap linear algebra per clip)
         cano_pos = np.empty((self.n_samples, clip_len, joints_num, 3))
@@ -518,15 +528,20 @@ class AmassClipDataset:
 
     # ------------------------------------------------------------------
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True, pad_last: bool = False):
+                drop_last: bool = True, pad_last=False, pad_multiple: int = 1):
         """Yield stacked batch dicts of fixed shape (TPU-friendly epoch stream).
 
         pad_last=True pads a short final batch to batch_size by repeating the
         last clip (one compiled shape for the whole eval — a fresh shape costs
-        minutes of XLA compile); the dict carries '_valid' with the true count
-        so callers can trim outputs. pad_last implies keeping the tail:
-        honoring the (train-oriented) drop_last=True default would silently
-        drop the very clips the caller asked to pad."""
+        minutes of XLA compile); pad_last="bucket" pads only to the next
+        power of two (x pad_multiple, for mesh divisibility) — a 7-clip tail
+        behind bs=64 batches costs 8 clips of device compute, not 64. The
+        dict carries '_valid' with the true count so callers can trim
+        outputs. pad_last implies keeping the tail: honoring the
+        (train-oriented) drop_last=True default would silently drop the very
+        clips the caller asked to pad."""
+        from rohm_tpu.data.clips import pad_tail_size
+
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -537,7 +552,8 @@ class AmassClipDataset:
             idx = order[s : s + batch_size]
             valid = len(idx)
             if pad_last and valid < batch_size:
-                idx = np.concatenate([idx, np.full(batch_size - valid, idx[-1])])
+                pad_to = pad_tail_size(valid, batch_size, pad_last, pad_multiple)
+                idx = np.concatenate([idx, np.full(pad_to - valid, idx[-1])])
             items = [self[int(i)] for i in idx]
             out = {k: np.stack([it[k] for it in items]) for k in items[0]}
             if pad_last:

@@ -462,7 +462,9 @@ class VideoClipDataset:
         return item
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = False, pad_last: bool = False):
+                drop_last: bool = False, pad_last=False, pad_multiple: int = 1):
+        from rohm_tpu.data.clips import pad_tail_size
+
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -474,7 +476,8 @@ class VideoClipDataset:
             idx = order[s : s + batch_size]
             valid = len(idx)
             if pad_last and valid < batch_size:
-                idx = np.concatenate([idx, np.full(batch_size - valid, idx[-1])])
+                pad_to = pad_tail_size(valid, batch_size, pad_last, pad_multiple)
+                idx = np.concatenate([idx, np.full(pad_to - valid, idx[-1])])
             items = [self[int(i)] for i in idx]
             out = {
                 k: np.stack([it[k] for it in items])

@@ -60,8 +60,12 @@ class Conv1dBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
         # epsilon matches torch nn.GroupNorm's default 1e-5 (flax defaults
-        # to 1e-6) so converted reference checkpoints reproduce exactly
-        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, dtype=jnp.float32)(x)
+        # to 1e-6) so converted reference checkpoints reproduce exactly.
+        # dtype rides the block dtype: flax force-promotes the mean/var
+        # reductions to f32 internally regardless, so bf16 here only avoids
+        # materializing f32 activations between bf16 convs (the cast
+        # ping-pong that made bf16 TrajNet REGRESS in round 3)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, dtype=self.dtype)(x)
         return mish(x)
 
 

@@ -143,6 +143,44 @@ def test_batches_pad_last_keeps_tail(body, clips, tmp_path):
     )
 
 
+def test_batches_pad_last_bucket(body, clips, tmp_path):
+    """pad_last="bucket" pads the tail to the next power of two (x
+    pad_multiple), not to full batch_size — a short tail batch must not cost
+    a full batch of device compute (VERDICT r3: the padded-full tail was
+    ~30% of the warm e2e device time at 135 clips / bs=64)."""
+    ds = _make(body, clips, tmp_path)
+    assert ds.n_samples == 4
+    batches = list(ds.batches(batch_size=3, shuffle=False, pad_last="bucket"))
+    assert len(batches) == 2
+    assert batches[0]["_valid"] == 3 and batches[1]["_valid"] == 1
+    # 1-clip tail -> bucket of 1 (no padding at all)
+    assert batches[1]["motion_repr_clean"].shape[0] == 1
+    # mesh divisibility: pad_multiple rounds the bucket up
+    batches = list(
+        ds.batches(batch_size=3, shuffle=False, pad_last="bucket", pad_multiple=2)
+    )
+    assert batches[1]["motion_repr_clean"].shape[0] == 2
+    np.testing.assert_array_equal(
+        batches[1]["motion_repr_clean"][1], batches[1]["motion_repr_clean"][0]
+    )
+
+
+def test_pad_tail_size():
+    from rohm_tpu.data.clips import pad_tail_size
+
+    assert pad_tail_size(7, 64, "bucket") == 8
+    assert pad_tail_size(8, 64, "bucket") == 8
+    assert pad_tail_size(9, 64, "bucket") == 16
+    assert pad_tail_size(33, 64, "bucket") == 64
+    assert pad_tail_size(1, 64, "bucket") == 1
+    assert pad_tail_size(7, 64, "bucket", pad_multiple=8) == 8
+    assert pad_tail_size(9, 64, "bucket", pad_multiple=8) == 16
+    assert pad_tail_size(3, 64, "bucket", pad_multiple=8) == 8
+    assert pad_tail_size(63, 64, "bucket", pad_multiple=8) == 64
+    # plain pad_last=True keeps the one-shape behavior
+    assert pad_tail_size(7, 64, True) == 64
+
+
 def test_file_loading_roundtrip(body, tmp_path):
     root = tmp_path / "amass"
     write_synthetic_amass(str(root), body, datasets={"SynthA": 1}, seq_len=70, seed=0)
