@@ -165,6 +165,21 @@ def test_batches_pad_last_bucket(body, clips, tmp_path):
     )
 
 
+def test_empty_tree_fails_loudly(body, tmp_path):
+    """A missing/empty dataset tree must raise a named error at construction,
+    not a cryptic 'need at least one array to concatenate' from the chunked
+    FK (hit in round 4 when the uncommitted timing tree vanished with the
+    machine image)."""
+    with pytest.raises(ValueError, match="no 145-frame clips found"):
+        AmassClipDataset(
+            body_model=body,
+            preprocessed_amass_root=str(tmp_path / "nonexistent"),
+            amass_datasets=["NoSuch"],
+            split="train",
+            clip_len=145,
+        )
+
+
 def test_pad_tail_size():
     from rohm_tpu.data.clips import pad_tail_size
 
