@@ -790,15 +790,10 @@ def _assert_pipeline_parity(ref_out, jax_out, jax_pert, label, metric_rtol):
     assert db < 2e-3, f"{label}: re-encode bridge diverged: {db}"
     for k in ("traj_final", "pose_final"):
         assert np.isfinite(jax_out[k]).all(), f"{label}: {k} not finite"
-    # chaos control: cross-framework delta must sit at/below the chain's own
-    # sensitivity to an eps-scale input change (same structure as
-    # test_cross_framework_delta_below_self_sensitivity)
-    assert dp.mean() < 2.0 * max(d_self.mean(), 1e-6), (
-        f"{label}: cross-framework pose delta {dp.mean()} EXCEEDS the "
-        f"chain's own eps-perturbation sensitivity {d_self.mean()} — a real "
-        "implementation divergence, not chaos"
-    )
 
+    # metrics first: print + gate the production-meaningful quantities before
+    # the (diagnostic) self-sensitivity check, so a failed run still reports
+    # the full picture
     m_ref, m_jax = _pipeline_metrics(ref_out), _pipeline_metrics(jax_out)
     for k in m_ref:
         a, b = float(m_ref[k]), float(m_jax[k])
@@ -808,19 +803,53 @@ def _assert_pipeline_parity(ref_out, jax_out, jax_pert, label, metric_rtol):
             f"{label}: metric {k} parity broken: ref {a} vs jax {b} (rel {rel})"
         )
 
+    # chaos control: cross-framework delta must sit at/below the chain's own
+    # sensitivity to an eps-scale input change (same structure as
+    # test_cross_framework_delta_below_self_sensitivity)
+    assert dp.mean() < 2.0 * max(d_self.mean(), 1e-6), (
+        f"{label}: cross-framework pose delta {dp.mean()} EXCEEDS the "
+        f"chain's own eps-perturbation sensitivity {d_self.mean()} — a real "
+        "implementation divergence, not chaos"
+    )
 
-def _perturbed_jax(flax_params, body, data, noise, cfg):
+
+def _perturbed_jax(flax_params, body, data, noise, cfg, lever="init"):
     """The self-sensitivity control: rerun the jax pipeline with the pose
-    chains' INIT STATE (x_T) perturbed at machine-eps scale (1e-6) — the
-    lever through which f32 implementation differences actually enter a
-    reverse chain. Cond perturbations are the wrong lever here: they enter
-    smoothly (measured 1e-6 cond -> 1e-4 output) while state perturbations
-    cross the discrete guidance thresholds (measured 1e-6 state -> 0.98)."""
+    chains' noise perturbed at machine-eps scale (1e-6).
+
+    lever="init" perturbs the chain INIT STATE (x_T) only — sufficient at
+    the tiny harness width, where it crosses the discrete guidance
+    thresholds (measured 1e-6 init -> 0.98). At PRODUCTION width the init
+    perturbation CONTRACTS before the guided tail even begins (measured
+    1e-6 init -> 4.4e-6 final) and under-reports the chain's sensitivity.
+
+    lever="step" perturbs the TRAJ chain's PER-STEP noise — the lever
+    through which framework differences actually cascade at production
+    width. eps is 1e-5: the measured size of legitimate cross-framework
+    per-step differences (the torch SMPL-X twin and the jax body model agree
+    to <1e-5 m on joints AND guidance grads — test_torch_twin.py — and the
+    iter-0 traj chains themselves agree to ~5e-6 per step). CPU cascade
+    measurement at production width, shipped cfg (2026-08-19, seed 7):
+      traj_step + 1e-5 eps -> trajF 3.45e-2, final pose mean 1.59e-2
+      pose_step + 1e-5 eps -> final pose mean 2.98e-6 (contraction-stable)
+    i.e. the pose chain itself is NOT chaotic at production width — the
+    divergence budget is set entirely by the guided/infill TRAJ chain's
+    discrete thresholds cascading through bridge -> TrajControl cond
+    (reference posenet.py:217-248 thresholds; test_amass_full.py:218-281
+    infill + prediction-fed cond). The observed cross-framework final pose
+    delta (1.61e-2 mean) sits at 1.0x this lever's sensitivity."""
     rng = np.random.default_rng(7)
     pert_noise = dict(noise)
-    pert_noise["pose_init"] = noise["pose_init"] + np.float32(1e-6) * (
-        rng.standard_normal(noise["pose_init"].shape).astype(np.float32)
-    )
+    if lever == "init":
+        pert_noise["pose_init"] = noise["pose_init"] + np.float32(1e-6) * (
+            rng.standard_normal(noise["pose_init"].shape).astype(np.float32)
+        )
+    elif lever == "step":
+        pert_noise["traj_step"] = noise["traj_step"] + np.float32(1e-5) * (
+            rng.standard_normal(noise["traj_step"].shape).astype(np.float32)
+        )
+    else:
+        raise ValueError(lever)
     return run_jax(flax_params, body, data, pert_noise, intermediates=False, **cfg)
 
 
