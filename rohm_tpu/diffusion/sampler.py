@@ -53,6 +53,7 @@ def p_sample_loop(
     early_stop_steps: int = 0,
     dtype=jnp.float32,
     step_noise: jnp.ndarray | None = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the full reverse chain.
 
@@ -70,6 +71,9 @@ def p_sample_loop(
         indexed by internal timestep t (deterministic replay: reproduce a
         recorded chain exactly, or cross-check against another sampler
         implementation fed the same noise).
+      unroll: lax.scan unroll factor — lets XLA overlap step t's noise
+        generation / posterior math with step t-1's model compute. Math-
+        identical to unroll=1 (same ops, same order per step).
 
     Returns: final sample [B, T, D] (or final pred_x0 when early stopping).
     """
@@ -151,13 +155,16 @@ def p_sample_loop(
         split = min(thr, t_hi)  # last guided internal index
         if split < t_hi:
             ts_upper = jnp.arange(t_hi, max(split, t_lo - 1), -1)
-            carry, _ = jax.lax.scan(make_step(None), carry, ts_upper)
+            carry, _ = jax.lax.scan(make_step(None), carry, ts_upper,
+                                    unroll=unroll)
         ts_lower = jnp.arange(min(split, t_hi), t_lo - 1, -1)
         active = tuple(t >= split for t in internal_thr)
-        carry, _ = jax.lax.scan(make_step(active), carry, ts_lower)
+        carry, _ = jax.lax.scan(make_step(active), carry, ts_lower,
+                                unroll=unroll)
     else:
         timesteps = jnp.arange(t_hi, t_lo - 1, -1)
-        carry, _ = jax.lax.scan(make_step(None), carry, timesteps)
+        carry, _ = jax.lax.scan(make_step(None), carry, timesteps,
+                                unroll=unroll)
     x_final, pred_x0_last = carry
     if early_stop_steps > 0:
         return pred_x0_last

@@ -158,6 +158,31 @@ class TestSampler:
         )
         np.testing.assert_array_equal(np.asarray(f()), np.asarray(f()))
 
+    def test_unroll_is_bitwise_identical(self):
+        # unroll only changes XLA scheduling (overlap of noise gen with the
+        # model body), never the math: plain and guided chains must match
+        # unroll=1 exactly at every factor, including non-divisor ones
+        sched = make_schedule("cosine", 20)
+        shape = (2, 5, 8)
+        model = lambda x, t: 0.5 * x
+        key = jax.random.PRNGKey(3)
+        spec = GuidanceSpec(
+            loss_fn=lambda x: jnp.sum(x**2), weight=0.1, t_threshold=7
+        )
+        # (unroll, guidance) pairs kept small — each is a fresh XLA program:
+        # 3 is the non-divisor edge (20 % 3 != 0), guided covers the
+        # split-scan path
+        ref_plain = p_sample_loop(model, sched, shape, key)
+        ref_guided = p_sample_loop(model, sched, shape, key, guidance=(spec,))
+        for guidance, ref, unroll in (
+            ((), ref_plain, 3),
+            ((spec,), ref_guided, 2),
+        ):
+            got = p_sample_loop(
+                model, sched, shape, key, guidance=guidance, unroll=unroll
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_guidance_shifts_mean(self):
         # guidance only reaches the output through the model reading x_t
         # (posterior variance is 0 at t=0), so the model must be x-dependent
