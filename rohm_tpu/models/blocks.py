@@ -45,20 +45,67 @@ def transformer_pe_table(max_len: int, d_model: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+# Implementation of the k-tap SAME convs in Conv1dBlock: "native" (XLA conv)
+# or "im2col" (unfold + one matmul — same math, same param tree; its backward
+# is two plain matmuls, dodging XLA's slow bf16 conv-backward path on v5e,
+# see scripts/bench_conv_im2col.py). Module-level default so ablations can
+# flip every block at once without threading a field through each model.
+DEFAULT_CONV_IMPL = "native"
+
+
+class Im2colConv(nn.Module):
+    """Conv1d(k, SAME, correlation) as unfold + one [B*T, k*C] @ [k*C, F]
+    matmul. Param tree is IDENTICAL to flax nn.Conv (kernel [k, C, F],
+    bias [F], same initializers) so checkpoints interchange freely; when used
+    inside Conv1dBlock it is instantiated as name="Conv_0" to keep the exact
+    native tree path."""
+
+    features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, C = x.shape
+        k = self.kernel_size
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, C, self.features), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        lo = (k - 1) // 2  # flax SAME padding for odd/even k
+        xp = jnp.pad(x, ((0, 0), (lo, k - 1 - lo), (0, 0)))
+        # tap-major column order matches kernel.reshape(k*C, F) row-major
+        cols = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(xp, i, T, axis=1) for i in range(k)],
+            axis=-1,
+        )  # [B, T, k*C]
+        y = cols.astype(self.dtype) @ w.reshape(k * C, self.features).astype(self.dtype)
+        return y + b.astype(self.dtype)
+
+
 class Conv1dBlock(nn.Module):
     """Conv1d(k, SAME) -> GroupNorm(8) -> Mish, on [B, T, C].
 
     dtype: computation dtype for the conv (bf16 rides the MXU on TPU);
-    GroupNorm statistics always accumulate in float32."""
+    GroupNorm statistics always accumulate in float32.
+    conv_impl: "native" | "im2col" (None -> DEFAULT_CONV_IMPL); both produce
+    the same params and the same math — im2col trades the XLA conv op for an
+    unfold+matmul whose bf16 backward is fast on v5e."""
 
     features: int
     kernel_size: int = 5
     n_groups: int = 8
     dtype: Any = jnp.float32
+    conv_impl: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.features, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
+        impl = self.conv_impl or DEFAULT_CONV_IMPL
+        if impl == "im2col":
+            x = Im2colConv(self.features, self.kernel_size, dtype=self.dtype,
+                           name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
         # epsilon matches torch nn.GroupNorm's default 1e-5 (flax defaults
         # to 1e-6) so converted reference checkpoints reproduce exactly.
         # dtype rides the block dtype: flax force-promotes the mean/var

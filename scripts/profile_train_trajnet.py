@@ -30,7 +30,13 @@ from rohm_tpu.train import create_train_state, make_trajnet_train_step  # noqa: 
 ap = argparse.ArgumentParser()
 ap.add_argument("--dtype", default="float32")
 ap.add_argument("--bs", type=int, default=64)
+ap.add_argument("--conv_impl", default="native", choices=["native", "im2col"])
 args = ap.parse_args()
+
+if args.conv_impl != "native":
+    from rohm_tpu.models import blocks
+
+    blocks.DEFAULT_CONV_IMPL = args.conv_impl
 
 B, T = args.bs, 144
 dt = jnp.dtype(args.dtype)

@@ -60,6 +60,58 @@ class TestTrajNet:
         assert out.shape == (2, 16, 13)
 
 
+class TestConvImpl:
+    def test_im2col_matches_native_conv(self):
+        # Im2colConv must be a drop-in for nn.Conv inside Conv1dBlock:
+        # identical param tree (path + shapes) and identical math (outputs
+        # and grads to f32 rounding), so checkpoints interchange between
+        # conv_impl settings
+        from rohm_tpu.models.blocks import Conv1dBlock
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 9, 8)), jnp.float32
+        )
+        key = jax.random.PRNGKey(1)
+        variants = {}
+        for k in (4, 5):  # even k exercises the asymmetric SAME pad
+            native = Conv1dBlock(16, kernel_size=k, conv_impl="native")
+            im2col = Conv1dBlock(16, kernel_size=k, conv_impl="im2col")
+            p = native.init(key, x)
+            assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+                im2col.init(key, x)
+            )
+            np.testing.assert_allclose(
+                np.asarray(native.apply(p, x)),
+                np.asarray(im2col.apply(p, x)),
+                atol=1e-5,
+            )
+            variants[k] = (native, im2col, p)
+        native, im2col, p = variants[5]
+        ga = jax.grad(lambda q: jnp.sum(native.apply(q, x) ** 2))(p)
+        gb = jax.grad(lambda q: jnp.sum(im2col.apply(q, x) ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_trajnet_forward_agrees_across_conv_impl(self):
+        # whole-model check through the module-level default switch
+        from rohm_tpu.models import blocks
+
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 16, 13)), jnp.float32)
+        t = jnp.asarray([3, 7], jnp.int32)
+        model = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=MID)
+        params = model.init(jax.random.PRNGKey(0), x, x, t)
+        out_native = model.apply(params, x, x, t)
+        old = blocks.DEFAULT_CONV_IMPL
+        try:
+            blocks.DEFAULT_CONV_IMPL = "im2col"
+            out_im2col = model.apply(params, x, x, t)
+        finally:
+            blocks.DEFAULT_CONV_IMPL = old
+        np.testing.assert_allclose(
+            np.asarray(out_native), np.asarray(out_im2col), atol=1e-4
+        )
+
+
 class TestPoseNet:
     def test_output_shape_and_traj_passthrough(self):
         model = PoseNet(latent_dim=64, ff_size=128, num_layers=2, num_heads=4)
