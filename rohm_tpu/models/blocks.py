@@ -50,6 +50,14 @@ def transformer_pe_table(max_len: int, d_model: int) -> np.ndarray:
 # is two plain matmuls, dodging XLA's slow bf16 conv-backward path on v5e,
 # see scripts/bench_conv_im2col.py). Module-level default so ablations can
 # flip every block at once without threading a field through each model.
+#
+# TRACE-TIME SEMANTICS: this global is read inside Conv1dBlock.__call__, i.e.
+# at jax TRACE time, and is NOT part of any jit cache key. Set it BEFORE the
+# first jit trace of a model apply (as scripts/profile_train_trajnet.py does)
+# and do not flip it afterwards in the same process: an already-traced
+# program silently keeps the impl it was traced with, and the flip is not
+# thread-safe. For per-model control that survives retracing, pass
+# Conv1dBlock(conv_impl=...) explicitly instead.
 DEFAULT_CONV_IMPL = "native"
 
 
@@ -58,7 +66,12 @@ class Im2colConv(nn.Module):
     matmul. Param tree is IDENTICAL to flax nn.Conv (kernel [k, C, F],
     bias [F], same initializers) so checkpoints interchange freely; when used
     inside Conv1dBlock it is instantiated as name="Conv_0" to keep the exact
-    native tree path."""
+    native tree path.
+
+    Memory cost: the unfolded [B, T, k*C] activation is materialized in the
+    forward pass AND saved for the backward (k× the input activation, k=5 in
+    Conv1dBlock), so at production widths this trades peak HBM for the faster
+    bf16 matmul backward — part of the speed-vs-HBM ablation, not a free win."""
 
     features: int
     kernel_size: int

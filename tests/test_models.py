@@ -92,6 +92,40 @@ class TestConvImpl:
         for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_im2col_matches_native_conv_bf16(self):
+        # the stated motivation for im2col is the bf16 backward path on v5e
+        # (scripts/bench_conv_im2col.py), so the parity envelope must be
+        # bounded in bf16 too: unfold+matmul and XLA conv round differently
+        # under bf16 accumulation. Outputs and grads compared against the
+        # shared f32 native result with a bf16-scale tolerance (mirrors the
+        # bf16 kernel-numerics tests' envelope style).
+        from rohm_tpu.models.blocks import Conv1dBlock
+
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 9, 8)), jnp.float32
+        )
+        key = jax.random.PRNGKey(1)
+        ref32 = Conv1dBlock(16, kernel_size=5, conv_impl="native")
+        p = ref32.init(key, x)
+        out_ref = np.asarray(ref32.apply(p, x))
+        scale = np.abs(out_ref).max()
+
+        outs, grads = {}, {}
+        for impl in ("native", "im2col"):
+            m = Conv1dBlock(16, kernel_size=5, conv_impl=impl, dtype=jnp.bfloat16)
+            outs[impl] = np.asarray(m.apply(p, x), np.float32)
+            g = jax.grad(lambda q: jnp.sum(m.apply(q, x).astype(jnp.float32) ** 2))(p)
+            grads[impl] = [np.asarray(a, np.float32) for a in jax.tree_util.tree_leaves(g)]
+        # each bf16 impl within bf16 rounding of the f32 reference...
+        for impl in outs:
+            assert np.abs(outs[impl] - out_ref).max() < 0.05 * scale, impl
+        # ...and within bf16 rounding of each other (outputs and grads)
+        np.testing.assert_allclose(outs["native"], outs["im2col"],
+                                   atol=0.03 * scale)
+        for a, b in zip(grads["native"], grads["im2col"]):
+            tol = 0.03 * max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=tol)
+
     def test_trajnet_forward_agrees_across_conv_impl(self):
         # whole-model check through the module-level default switch
         from rohm_tpu.models import blocks
