@@ -32,7 +32,31 @@ def _fk_positions(model: SmplxModel, params: dict) -> np.ndarray:
     ).astype(np.float64)
 
 
-def _synthetic_params(num_frames: int, seed: int, walk_speed: float = 0.02) -> dict:
+def _apply_stance_phases(params: dict, num_frames: int) -> dict:
+    """Insert periodic stance phases: freeze all params over an 8-frame
+    window and dip the pelvis z so the feet reach the clip floor with zero
+    velocity — the regime foot_detect labels as contact (vel² < 5e-5 and
+    height over floor < 0.18/0.15, reference motion_representation.py:23-44).
+    The default smooth-sinusoid motion floats with the feet fast and high,
+    so contact labels are all-zero and contact/skating metrics are vacuous;
+    this opt-in mode makes them measurable (closed-loop curriculum test)."""
+    z_dip = np.zeros(num_frames)
+    period, hold = 16, 8
+    for start in range(4, num_frames - hold, period):
+        for k in params:
+            params[k][start:start + hold] = params[k][start]
+        # ramp down, plateau (4 frames, zero velocity), ramp up
+        z_dip[start:start + hold] = -0.35 * np.array(
+            [0.5, 1, 1, 1, 1, 1, 0.5, 0.0][:hold]
+        )
+    params["transl"] = params["transl"].copy()
+    params["transl"][:, 2] += z_dip
+    return params
+
+
+def _synthetic_params(
+    num_frames: int, seed: int, walk_speed: float = 0.02, grounded: bool = False
+) -> dict:
     """Host-only smooth-motion smplx params for one clip (no device work)."""
     rng = np.random.default_rng(seed)
     t = np.arange(num_frames)[:, None]
@@ -58,12 +82,15 @@ def _synthetic_params(num_frames: int, seed: int, walk_speed: float = 0.02) -> d
 
     betas = np.tile(rng.normal(scale=0.5, size=(1, 10)), (num_frames, 1))
 
-    return {
+    params = {
         "global_orient": global_orient,
         "transl": transl,
         "body_pose": body_pose,
         "betas": betas,
     }
+    if grounded:
+        params = _apply_stance_phases(params, num_frames)
+    return params
 
 
 def synthetic_motion(
@@ -71,24 +98,27 @@ def synthetic_motion(
     num_frames: int = 145,
     seed: int = 0,
     walk_speed: float = 0.02,
+    grounded: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """Generate one smooth motion clip.
 
     Returns (positions [T, 22, 3] z-up world joints, smplx_params dict with
     global_orient [T,3] / transl [T,3] / body_pose [T,63] / betas [T,10]).
     """
-    params = _synthetic_params(num_frames, seed, walk_speed)
+    params = _synthetic_params(num_frames, seed, walk_speed, grounded=grounded)
     return _fk_positions(model, params), params
 
 
 def synthetic_clip_batch(
-    model: SmplxModel, batch_size: int = 4, num_frames: int = 145, seed: int = 0
+    model: SmplxModel, batch_size: int = 4, num_frames: int = 145, seed: int = 0,
+    grounded: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """Batch of clips: (positions [B, T, 22, 3], params dict of [B, T, ...]).
 
     All clips go through ONE jitted FK dispatch ([B*T] flat) — per-clip eager
     FK was minutes of dispatch latency over a remote-TPU tunnel."""
-    plist = [_synthetic_params(num_frames, seed + i) for i in range(batch_size)]
+    plist = [_synthetic_params(num_frames, seed + i, grounded=grounded)
+             for i in range(batch_size)]
     params = {k: np.stack([p[k] for p in plist]) for k in plist[0]}
     flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in params.items()}
     positions = _fk_positions(model, flat).reshape(batch_size, num_frames, 22, 3)
@@ -109,10 +139,11 @@ def params_to_flat178(params: dict) -> np.ndarray:
 
 
 def synthetic_amass_arrays(
-    model: SmplxModel, n_clips: int = 4, clip_len: int = 145, seed: int = 0
+    model: SmplxModel, n_clips: int = 4, clip_len: int = 145, seed: int = 0,
+    grounded: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(joints [N, T, 25, 3], params [N, T, 178]) ready for AmassClipDataset."""
-    positions, params = synthetic_clip_batch(model, n_clips, clip_len, seed)
+    positions, params = synthetic_clip_batch(model, n_clips, clip_len, seed, grounded=grounded)
     joints25 = np.zeros((n_clips, clip_len, 25, 3))
     joints25[:, :, :22] = positions
     flat = np.stack([params_to_flat178({k: params[k][i] for k in params}) for i in range(n_clips)])
@@ -287,6 +318,7 @@ def write_synthetic_amass(
     datasets: dict[str, int] | None = None,
     seq_len: int = 300,
     seed: int = 0,
+    grounded: bool = False,
 ) -> None:
     """Write a synthetic preprocessed-AMASS tree (pose_data_fps_30/ +
     smpl_data_fps_30/) so the CLI drivers run end-to-end without real data."""
@@ -294,7 +326,7 @@ def write_synthetic_amass(
 
     datasets = datasets or {"SynthA": 3, "SynthB": 2}
     total = sum(datasets.values())
-    all_pos, all_params = synthetic_clip_batch(model, total, seq_len, seed)
+    all_pos, all_params = synthetic_clip_batch(model, total, seq_len, seed, grounded=grounded)
     i = 0
     for dataset_name, n_seqs in datasets.items():
         for s in range(n_seqs):

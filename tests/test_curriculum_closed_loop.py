@@ -1,0 +1,222 @@
+"""Closed-loop curriculum quality proof: the real CLIs, the full reference
+training curriculum (scaled down), then full-pipeline inference + eval — and
+the reconstruction must BEAT the noisy input on the headline metrics.
+
+Round-4 state of evidence: training was proven to (a) match the reference's
+losses/gradients exactly (tests/test_train_parity.py) and (b) converge in
+loss — but a sign-flipped loss weight in a later curriculum stage or a broken
+stage-to-stage checkpoint handoff would have passed every test. This module
+closes that hole by driving the REAL CLI mains through the reference's
+multi-stage recipe (reference README.md:109-133):
+
+  TrajNet stage 1 -> 2 -> 3 (checkpoint handoff via --load_pretrained_model/
+  --pretrained_model_path, stage noise/weight deltas from
+  cfg_files/train_cfg/trajnet_train_vanilla_stage{1,2,3}.yaml; stage 3
+  enables the infill curriculum via --start_infill_epoch=0)
+  -> TrajControl (--trajcontrol --load_pretrained_backbone, the zero-conv
+  graft+freeze of train_trajnet.py:157-175, ft weights from
+  trajnet_ft_trajcontrol.yaml)
+  -> PoseNet stage 1 -> 2 (posenet_train_stage{1,2}.yaml noise deltas,
+  skating loss on from stage 1 as shipped: start_skating_loss_epoch then
+  weight 0.1)
+  -> test_amass_full (2-iteration guided pipeline) -> eval_amass_full,
+
+all on a GROUNDED synthetic AMASS tree (stance phases -> real foot-contact
+labels, so contact/skating metrics are non-vacuous; see
+rohm_tpu/data/synthetic.py:_apply_stance_phases). Scaled down: clip_len 17,
+mid/latent 64, TrajNet 50 / PoseNet 100 diffusion steps, a few hundred
+steps per stage at lr 1e-3.
+
+The closing assertions compare eval metrics of the reconstruction against
+the same metrics computed on the NOISY INPUT (both against clean GT): the
+trained stack must reduce global MPJPE, must not skate more, and must not
+lose contact-label accuracy. This is the one test in the suite that proves
+the curricula train a model that actually RECONSTRUCTS, not just converges.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+CLIP_LEN = 17
+BS = 16
+STEPS_TRAJ_DIFF = 50
+STEPS_POSE_DIFF = 100
+
+
+def _last_ckpt(save_dir):
+    runs = sorted(os.listdir(save_dir))
+    assert len(runs) == 1, runs
+    logdir = os.path.join(save_dir, runs[0])
+    ckpts = sorted(f for f in os.listdir(logdir) if f.startswith("model"))
+    assert ckpts, f"no checkpoint written in {logdir}"
+    return os.path.join(logdir, ckpts[-1])
+
+
+@pytest.fixture(scope="module")
+def curriculum(tmp_path_factory):
+    """Run the whole scaled-down reference curriculum through the real CLIs."""
+    from rohm_tpu.cli import train_posenet, train_trajnet
+    from rohm_tpu.cli.common import (
+        AMASS_TEST_DATASETS,
+        AMASS_TRAIN_DATASETS,
+        resolve_body_model,
+    )
+    from rohm_tpu.data import write_synthetic_amass
+
+    root = tmp_path_factory.mktemp("curriculum")
+    dataset_root = str(root / "amass")
+    body = resolve_body_model("data/body_models/smplx_model")
+    # grounded tree: stance phases give real foot-contact labels
+    write_synthetic_amass(
+        dataset_root, body,
+        datasets={n: 2 for n in AMASS_TRAIN_DATASETS + AMASS_TEST_DATASETS},
+        seq_len=2 * CLIP_LEN + 4, grounded=True,
+    )
+
+    common = [
+        f"--dataset_root={dataset_root}",
+        f"--clip_len={CLIP_LEN}",
+        f"--batch_size={BS}",
+        "--lr=1e-3",
+        "--seed=0",
+        "--log_interval=1000000",
+    ]
+
+    def train_traj(save_dir, num_steps, noise, weights, extra=()):
+        g, b, t, be = noise
+        args = common + [
+            f"--save_dir={root / save_dir}",
+            f"--num_steps={num_steps}", f"--save_interval={num_steps}",
+            f"--diffusion_steps={STEPS_TRAJ_DIFF}", "--mid_dim=64",
+            f"--noise_std_smplx_global_rot={g}", f"--noise_std_smplx_body_rot={b}",
+            f"--noise_std_smplx_trans={t}", f"--noise_std_smplx_betas={be}",
+        ] + [f"--{k}={v}" for k, v in weights.items()] + list(extra)
+        train_trajnet.main(args)
+        return _last_ckpt(root / save_dir)
+
+    # stage weight deltas exactly as the shipped YAMLs
+    w1 = {"weight_loss_root_smooth": 1.0,
+          "weight_loss_root_rot_cos_smooth_from_abs_traj": 1.0}
+    w2 = {"weight_loss_root_smooth": 1.0,
+          "weight_loss_root_rot_cos_smooth_from_abs_traj": 0.0}
+    w3 = {"weight_loss_root_smooth": 10.0,
+          "weight_loss_root_rot_cos_smooth_from_abs_traj": 1.0}
+    wc = {"weight_loss_root_smooth": 1.0,
+          "weight_loss_root_rot_cos_smooth_from_abs_traj": 0.0}
+
+    ck1 = train_traj("runs_t1", 400, (1.0, 1.0, 0.01, 0.01), w1)
+    ck2 = train_traj("runs_t2", 300, (2.0, 2.0, 0.03, 0.2), w2, [
+        "--load_pretrained_model=True", f"--pretrained_model_path={ck1}"])
+    ck3 = train_traj("runs_t3", 300, (2.0, 2.0, 0.02, 0.2), w3, [
+        "--load_pretrained_model=True", f"--pretrained_model_path={ck2}",
+        "--start_infill_epoch=0", "--mask_prob=0.4", "--max_infill_ratio=0.25"])
+    ck_ctrl = train_traj("runs_tc", 300, (2.0, 2.0, 0.03, 0.2), wc, [
+        "--trajcontrol=True", "--load_pretrained_backbone=True",
+        f"--pretrained_backbone_path={ck3}"])
+
+    def train_pose(save_dir, num_steps, noise, extra=()):
+        g, b, t, be = noise
+        args = common + [
+            f"--save_dir={root / save_dir}",
+            f"--num_steps={num_steps}", f"--save_interval={num_steps}",
+            f"--diffusion_steps={STEPS_POSE_DIFF}", "--latent_dim=64",
+            f"--noise_std_smplx_global_rot={g}", f"--noise_std_smplx_body_rot={b}",
+            f"--noise_std_smplx_trans={t}", f"--noise_std_smplx_betas={be}",
+            # shipped: skating loss 0.1 gated by epoch; scaled epoch gate
+            "--weight_loss_foot_skating=0.1", "--start_skating_loss_epoch=10",
+            # scheme-mask phase reached early (reference trains past it)
+            "--start_prox_mask_epoch=25", "--mask_scheme=lower",
+        ] + list(extra)
+        train_posenet.main(args)
+        return _last_ckpt(root / save_dir)
+
+    ckp1 = train_pose("runs_p1", 600, (1.0, 1.0, 0.01, 0.01))
+    ckp2 = train_pose("runs_p2", 400, (2.0, 2.0, 0.03, 0.2), [
+        "--load_pretrained_model=True", f"--pretrained_model_path={ckp1}"])
+
+    return {
+        "dataset_root": dataset_root, "root": root,
+        "trajnet": ck3, "trajcontrol": ck_ctrl, "posenet": ckp2,
+    }
+
+
+def test_curriculum_trains_a_model_that_reconstructs(curriculum):
+    from rohm_tpu.cli import eval_amass_full, test_amass_full
+    from rohm_tpu.evals.metrics import (
+        contact_label_accuracy,
+        mpjpe_global,
+        skating_ratio,
+    )
+
+    root = curriculum["root"]
+    save_root = str(root / "results")
+    test_amass_full.main([
+        f"--dataset_root={curriculum['dataset_root']}",
+        f"--clip_len={CLIP_LEN}",
+        "--batch_size=12",
+        f"--diffusion_steps_trajnet={STEPS_TRAJ_DIFF}",
+        f"--diffusion_steps_posenet={STEPS_POSE_DIFF}",
+        "--mid_dim=64", "--latent_dim=64",
+        f"--model_path_trajnet={curriculum['trajnet']}",
+        f"--model_path_trajnet_control={curriculum['trajcontrol']}",
+        f"--model_path_posenet={curriculum['posenet']}",
+        "--synthetic_data=True",
+        "--load_noise=False",
+        "--noise_std_smplx_global_rot=3", "--noise_std_smplx_body_rot=3",
+        "--noise_std_smplx_trans=0.03", "--noise_std_smplx_betas=0.1",
+        "--mask_scheme=lower",
+        "--sample_iter=2",
+        f"--save_root={save_root}",
+        "--seed=0",
+    ])
+    pkls = [f for f in os.listdir(save_root) if f.endswith(".pkl")]
+    assert len(pkls) == 1
+    pkl_path = os.path.join(save_root, pkls[0])
+
+    m = eval_amass_full.main([f"--saved_data_path={pkl_path}"])
+
+    with open(pkl_path, "rb") as f:
+        sd = pickle.load(f)
+    clean = sd["rec_ric_data_clean_list"]
+    noisy = sd["rec_ric_data_noisy_list"]
+    mpjpe_noisy_mm = mpjpe_global(clean, noisy) * 1000
+    skating_noisy = skating_ratio(noisy, joints_for_floor=clean)
+    contact_noisy = contact_label_accuracy(
+        sd["motion_repr_clean_list"], sd["motion_repr_noisy_list"]
+    )
+    print(
+        f"[closed-loop] mpjpe rec {m['mpjpe_global_mm']:.1f} vs noisy "
+        f"{mpjpe_noisy_mm:.1f} mm | skating rec {m['skating_rec_ratio']:.4f} "
+        f"vs noisy {skating_noisy:.4f} | contact rec {m['contact_lbl_acc']:.3f} "
+        f"vs noisy {contact_noisy:.3f} | accel {m['accel_error_ms2']:.2f}"
+    )
+    # contact labels must be a real signal on this tree (grounded stances),
+    # otherwise the contact/skating gates below are vacuous
+    gt_contact = np.asarray(sd["motion_repr_clean_list"])[..., -4:]
+    assert 0.01 < gt_contact.mean() < 0.9, (
+        f"grounded tree lost its contact signal: GT contact frac {gt_contact.mean()}"
+    )
+
+    # THE closed-loop gates: the curriculum-trained stack must RECONSTRUCT —
+    # beat the noisy input on global MPJPE, without skating more or losing
+    # contact accuracy. A sign-flipped late-stage loss weight or a broken
+    # stage handoff fails here.
+    assert m["mpjpe_global_mm"] < 0.8 * mpjpe_noisy_mm, (
+        f"reconstruction does not beat the noisy input: "
+        f"{m['mpjpe_global_mm']:.1f} vs {mpjpe_noisy_mm:.1f} mm"
+    )
+    assert m["skating_rec_ratio"] <= skating_noisy + 1e-6, (
+        f"reconstruction skates more than the noisy input: "
+        f"{m['skating_rec_ratio']} vs {skating_noisy}"
+    )
+    assert m["contact_lbl_acc"] >= contact_noisy - 1e-6, (
+        f"reconstruction loses contact accuracy vs the noisy input: "
+        f"{m['contact_lbl_acc']} vs {contact_noisy}"
+    )
