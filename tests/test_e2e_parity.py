@@ -1250,7 +1250,9 @@ def test_egobody_full_pipeline_parity(egobody_results):
     untested cross-framework: visibility-masked cond (mask at iteration 0
     only), prediction-fed traj AND pose conds at iteration 1, TrajControl on
     the video loop, 2-D reprojection + skating guidance, early_stop
-    pred_xstart return — same weights, same noise, both frameworks."""
+    pred_xstart return — same weights, same noise, both frameworks.
+    Measured (2026-08-20, CPU f32): final traj 5.9e-05, final pose
+    max 7.7e-03 / mean 1.9e-04."""
     ref_out, jax_out = egobody_results
     dt = _maxdiff(ref_out["traj_iter1"], jax_out["traj_final"])
     dp = np.abs(ref_out["pose_iter1"] - jax_out["pose_final"])
