@@ -32,39 +32,64 @@ def _fk_positions(model: SmplxModel, params: dict) -> np.ndarray:
     ).astype(np.float64)
 
 
-def _apply_stance_phases(params: dict, num_frames: int) -> dict:
-    """Insert periodic stance phases: freeze all params over an 8-frame
-    window and dip the pelvis z so the feet reach the clip floor with zero
-    velocity — the regime foot_detect labels as contact (vel² < 5e-5 and
-    height over floor < 0.18/0.15, reference motion_representation.py:23-44).
-    The default smooth-sinusoid motion floats with the feet fast and high,
-    so contact labels are all-zero and contact/skating metrics are vacuous;
-    this opt-in mode makes them measurable (closed-loop curriculum test)."""
+def _stance_time_warp(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Speed profile + pelvis z-dip for periodic stance phases.
+
+    Returns (w [T] — per-frame motion-speed factor, dipping to ~0.02 during
+    8-frame holds via raised-cosine ramps; z_dip [T] — smooth 0.2 m pelvis
+    drop synchronized with the holds). Sampling the smooth base motion at
+    warped time cumsum(w) makes the whole body nearly still during a hold
+    (foot vel² < 5e-5, the foot_detect velocity gate, reference
+    motion_representation.py:23-44) while keeping velocities/accelerations
+    C¹-smooth — a hard freeze + z-teleport (the first version of this mode)
+    creates accel spikes the shipped smoothness losses fight, and the
+    curriculum-trained TrajNet plateaus ~4x WORSE than the noisy input on
+    such data (measured 2026-08-20)."""
+    w = np.ones(num_frames)
     z_dip = np.zeros(num_frames)
-    period, hold = 16, 8
+    period, ramp, flat = 16, 3, 6
+    hold = 2 * ramp + flat
     for start in range(4, num_frames - hold, period):
-        for k in params:
-            params[k][start:start + hold] = params[k][start]
-        # ramp down, plateau (4 frames, zero velocity), ramp up
-        z_dip[start:start + hold] = -0.35 * np.array(
-            [0.5, 1, 1, 1, 1, 1, 0.5, 0.0][:hold]
-        )
-    params["transl"] = params["transl"].copy()
-    params["transl"][:, 2] += z_dip
-    return params
+        up = 0.5 - 0.5 * np.cos(np.linspace(0, np.pi, ramp + 1)[1:])  # 0 -> 1
+        prof = np.concatenate([up, np.ones(flat), up[::-1]])  # [hold]
+        w[start:start + hold] = 1.0 - 0.98 * prof
+        z_dip[start:start + hold] = 0.2 * prof
+    return w, z_dip
 
 
 def _synthetic_params(
     num_frames: int, seed: int, walk_speed: float = 0.02, grounded: bool = False
 ) -> dict:
-    """Host-only smooth-motion smplx params for one clip (no device work)."""
+    """Host-only smooth-motion smplx params for one clip (no device work).
+
+    grounded=True inserts smooth stance phases (see _stance_time_warp) so
+    foot-contact labels and skating metrics are non-vacuous; the default
+    output is bit-identical to grounded=False of earlier revisions."""
     rng = np.random.default_rng(seed)
-    t = np.arange(num_frames)[:, None]
+    if grounded:
+        w, z_dip = _stance_time_warp(num_frames)
+        t = (np.cumsum(w) - w[0])[:, None]  # warped time, starts at 0
+    else:
+        w, z_dip = np.ones(num_frames), np.zeros(num_frames)
+        t = np.arange(num_frames)[:, None]
 
     # smooth body pose: sum of low-frequency sinusoids per dof
     freqs = rng.uniform(0.02, 0.12, size=(1, 63))
     phases = rng.uniform(0, 2 * np.pi, size=(1, 63))
     amps = rng.uniform(0.05, 0.35, size=(1, 63))
+    if grounded:
+        # Damp the torso chain (spine1/2/3, neck, both collars — SMPL-X
+        # joints 3,6,9,12,13,14; body_pose dofs (j-1)*3..) so the
+        # hips+shoulders-derived forward direction (reference
+        # motion_representation.py:204-210) is stable, as it is for real
+        # humans. Full-amplitude random spine twists make the per-frame
+        # forward estimate wander tens of degrees, which puts a step
+        # discontinuity into the canonicalized root_rot_angle (frame 0 is
+        # pinned to 0 by cano, the rest of the clip sits at the wander
+        # offset) — unlearnable for the TrajNet and unlike any mocap.
+        amps = amps.copy()
+        for j in (3, 6, 9, 12, 13, 14):
+            amps[:, (j - 1) * 3:(j - 1) * 3 + 3] *= 0.15
     body_pose = (amps * np.sin(2 * np.pi * freqs * t + phases)).astype(np.float64)
 
     # heading slowly turning about z (z-up world), slight tilt wobble
@@ -74,23 +99,22 @@ def _synthetic_params(
         [np.full(num_frames, np.pi / 2) + tilt, np.zeros(num_frames), heading], axis=-1
     )
 
-    # walking path in xy, height bobbing
+    # walking path in xy, height bobbing; xy advance scales with the stance
+    # speed factor so the body stops walking while it stands
     step = walk_speed * np.stack([np.cos(heading), np.sin(heading)], axis=-1)
+    step = step * w[:, None]
     xy = np.cumsum(step, axis=0) + rng.normal(scale=1.0, size=(1, 2))
-    z = 0.95 + 0.02 * np.sin(2 * np.pi * 0.07 * t[:, 0])
+    z = 0.95 + 0.02 * np.sin(2 * np.pi * 0.07 * t[:, 0]) - z_dip
     transl = np.concatenate([xy, z[:, None]], axis=-1)
 
     betas = np.tile(rng.normal(scale=0.5, size=(1, 10)), (num_frames, 1))
 
-    params = {
+    return {
         "global_orient": global_orient,
         "transl": transl,
         "body_pose": body_pose,
         "betas": betas,
     }
-    if grounded:
-        params = _apply_stance_phases(params, num_frames)
-    return params
 
 
 def synthetic_motion(

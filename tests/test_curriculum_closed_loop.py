@@ -21,11 +21,16 @@ multi-stage recipe (reference README.md:109-133):
   weight 0.1)
   -> test_amass_full (2-iteration guided pipeline) -> eval_amass_full,
 
-all on a GROUNDED synthetic AMASS tree (stance phases -> real foot-contact
-labels, so contact/skating metrics are non-vacuous; see
-rohm_tpu/data/synthetic.py:_apply_stance_phases). Scaled down: clip_len 17,
-mid/latent 64, TrajNet 50 / PoseNet 100 diffusion steps, a few hundred
-steps per stage at lr 1e-3.
+all on a GROUNDED synthetic AMASS tree (smooth stance phases -> real
+foot-contact labels, so contact/skating metrics are non-vacuous, plus a
+damped torso so the derived forward direction is stable like real mocap;
+see rohm_tpu/data/synthetic.py:_stance_time_warp). Scaled down: clip_len
+17, mid/latent 64, TrajNet 50 / PoseNet 100 diffusion steps, thousands of
+steps per stage at lr 1e-3 (tuned by measurement: at a few hundred steps
+the 100-1000x-weighted global-position losses swamp the weight-1 absolute
+rotation terms and the TrajNet root-rotation error plateaus ~4x worse than
+the noisy input; ~3k steps/stage on a 480-clip tree trains rotation to the
+noisy-input level and positions well below it).
 
 The closing assertions compare eval metrics of the reconstruction against
 the same metrics computed on the NOISY INPUT (both against clean GT): the
@@ -45,7 +50,9 @@ import pytest
 pytestmark = pytest.mark.slow
 
 CLIP_LEN = 17
-BS = 16
+BS = 32
+SEQS_PER_SET = 8
+SEQ_LEN = 74  # -> 4 train clips/seq; 480 train clips over 15 subsets
 STEPS_TRAJ_DIFF = 50
 STEPS_POSE_DIFF = 100
 
@@ -76,8 +83,8 @@ def curriculum(tmp_path_factory):
     # grounded tree: stance phases give real foot-contact labels
     write_synthetic_amass(
         dataset_root, body,
-        datasets={n: 2 for n in AMASS_TRAIN_DATASETS + AMASS_TEST_DATASETS},
-        seq_len=2 * CLIP_LEN + 4, grounded=True,
+        datasets={n: SEQS_PER_SET for n in AMASS_TRAIN_DATASETS + AMASS_TEST_DATASETS},
+        seq_len=SEQ_LEN, grounded=True,
     )
 
     common = [
@@ -111,13 +118,13 @@ def curriculum(tmp_path_factory):
     wc = {"weight_loss_root_smooth": 1.0,
           "weight_loss_root_rot_cos_smooth_from_abs_traj": 0.0}
 
-    ck1 = train_traj("runs_t1", 400, (1.0, 1.0, 0.01, 0.01), w1)
-    ck2 = train_traj("runs_t2", 300, (2.0, 2.0, 0.03, 0.2), w2, [
+    ck1 = train_traj("runs_t1", 3000, (1.0, 1.0, 0.01, 0.01), w1)
+    ck2 = train_traj("runs_t2", 2000, (2.0, 2.0, 0.03, 0.2), w2, [
         "--load_pretrained_model=True", f"--pretrained_model_path={ck1}"])
-    ck3 = train_traj("runs_t3", 300, (2.0, 2.0, 0.02, 0.2), w3, [
+    ck3 = train_traj("runs_t3", 3000, (2.0, 2.0, 0.02, 0.2), w3, [
         "--load_pretrained_model=True", f"--pretrained_model_path={ck2}",
         "--start_infill_epoch=0", "--mask_prob=0.4", "--max_infill_ratio=0.25"])
-    ck_ctrl = train_traj("runs_tc", 300, (2.0, 2.0, 0.03, 0.2), wc, [
+    ck_ctrl = train_traj("runs_tc", 1500, (2.0, 2.0, 0.03, 0.2), wc, [
         "--trajcontrol=True", "--load_pretrained_backbone=True",
         f"--pretrained_backbone_path={ck3}"])
 
@@ -132,13 +139,13 @@ def curriculum(tmp_path_factory):
             # shipped: skating loss 0.1 gated by epoch; scaled epoch gate
             "--weight_loss_foot_skating=0.1", "--start_skating_loss_epoch=10",
             # scheme-mask phase reached early (reference trains past it)
-            "--start_prox_mask_epoch=25", "--mask_scheme=lower",
+            "--start_prox_mask_epoch=30", "--mask_scheme=lower",
         ] + list(extra)
         train_posenet.main(args)
         return _last_ckpt(root / save_dir)
 
-    ckp1 = train_pose("runs_p1", 600, (1.0, 1.0, 0.01, 0.01))
-    ckp2 = train_pose("runs_p2", 400, (2.0, 2.0, 0.03, 0.2), [
+    ckp1 = train_pose("runs_p1", 4000, (1.0, 1.0, 0.01, 0.01))
+    ckp2 = train_pose("runs_p2", 3000, (2.0, 2.0, 0.03, 0.2), [
         "--load_pretrained_model=True", f"--pretrained_model_path={ckp1}"])
 
     return {
@@ -160,7 +167,8 @@ def test_curriculum_trains_a_model_that_reconstructs(curriculum):
     test_amass_full.main([
         f"--dataset_root={curriculum['dataset_root']}",
         f"--clip_len={CLIP_LEN}",
-        "--batch_size=12",
+        "--batch_size=16",
+        "--max_batches=1",  # 16 of the 96 test clips: bounds the CPU chain cost
         f"--diffusion_steps_trajnet={STEPS_TRAJ_DIFF}",
         f"--diffusion_steps_posenet={STEPS_POSE_DIFF}",
         "--mid_dim=64", "--latent_dim=64",
