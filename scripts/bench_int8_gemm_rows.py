@@ -94,19 +94,23 @@ def build(group: int, b: int):
 
 def main():
     print(f"backend={jax.default_backend()}")
-    b = 64  # batch large enough for 32-seq groups
     macs_per_row = D * 3 * D + D * D + D * F + F * D
     ideal_us_per_group = {}
     results = {}
     for group in (4, 8, 16, 32):
+        # one group per call (grid=1): measures the isolated-group GEMM time
+        # exactly like the 48.7 us round-4 ablation, and keeps the scan
+        # carry small enough that XLA's VMEM carry placement cannot OOM
+        # (a [64,144,512] bf16 carry + output hit the 16 MB scoped limit)
+        b = group
         run, x = build(group, b)
         run(x).block_until_ready()  # compile
         t0 = time.perf_counter()
         run(x).block_until_ready()
         dt = time.perf_counter() - t0
-        per_call = dt / ITERS  # whole-batch (b/group grid programs)
+        per_call = dt / ITERS
         rows = group * S
-        per_group = per_call / (b // group)
+        per_group = per_call  # grid=1: one group per call
         ops = 2 * rows * macs_per_row
         ideal = ops / 394e12
         ideal_us_per_group[group] = ideal * 1e6
@@ -114,7 +118,7 @@ def main():
         results[group] = (per_group * 1e6, per_call * 1e6, mfu)
         print(
             f"group={group:2d} rows={rows:5d}: {per_group * 1e6:7.1f} us/group "
-            f"({per_call * 1e6:7.1f} us/batch64) | ideal {ideal * 1e6:5.1f} us "
+            f"| ideal {ideal * 1e6:5.1f} us "
             f"| MFU {mfu:6.1%} | {per_group / rows * 1e9:6.1f} ns/row"
         )
     g8, g16 = results[8], results[16]
