@@ -216,14 +216,14 @@ def test_curriculum_trains_a_model_that_reconstructs(curriculum):
     )
 
     # THE closed-loop gates: the curriculum-trained stack must RECONSTRUCT.
-    # Calibration (2026-08-20 measured run, 16 eval clips): rec/noisy mpjpe
-    # 62.8/73.6 = 0.85; accel 30.0 vs noisy ~1200 (the strongest denoising
-    # signal); skating 0.143 vs 0.125 and contact 0.614 vs 0.614 are
-    # quantized at this clip count (one foot-frame flips ~0.02), so those
-    # gates carry absolute slack. A sign-flipped late-stage loss weight or a
-    # broken stage handoff is CATASTROPHIC here (measured with the round-4
-    # broken-data variant: mpjpe 324 vs 73 = 4.4x the other way), far
-    # outside every gate below.
+    # Calibration (2026-08-20 measured runs, 16 eval clips): rec/noisy mpjpe
+    # 61.5/73.6 = 0.84; accel 28.8 vs noisy 160.6 (5.6x denoising — the
+    # strongest signal); skating 0.130 vs 0.125 and contact 0.614 vs 0.614
+    # are quantized at this clip count (one foot-frame flips ~0.02), so
+    # those gates carry absolute slack. A sign-flipped late-stage loss
+    # weight or a broken stage handoff is CATASTROPHIC here (measured with
+    # an early broken-data variant: mpjpe 324 vs 73 = 4.4x the other way),
+    # far outside every gate below.
     accel_noisy = float(
         __import__("rohm_tpu.evals.metrics", fromlist=["accel_error"]).accel_error(
             clean, noisy
