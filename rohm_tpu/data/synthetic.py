@@ -47,7 +47,13 @@ def _stance_time_warp(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
     such data (measured 2026-08-20)."""
     w = np.ones(num_frames)
     z_dip = np.zeros(num_frames)
-    period, ramp, flat = 16, 3, 6
+    # period 17 == the tests' clip_len: every carved clip sees the stance at
+    # the same in-clip frames, so contact labels are frame-consistent across
+    # clips and a small model can actually learn them (with an unaligned
+    # period the stance phase drifts per clip and tiny-budget training
+    # hedges contact predictions at the base rate, never crossing the 0.5
+    # guidance threshold — measured 2026-08-20)
+    period, ramp, flat = 17, 3, 6
     hold = 2 * ramp + flat
     for start in range(4, num_frames - hold, period):
         up = 0.5 - 0.5 * np.cos(np.linspace(0, np.pi, ramp + 1)[1:])  # 0 -> 1

@@ -155,6 +155,14 @@ class TrainLoopTrajNet(_CheckpointMixin):
         return sub
 
     def run_loop(self):
+        # batches() drops a short tail (drop_last, fixed shapes for jit), so a
+        # batch_size larger than the dataset would yield ZERO batches and the
+        # loop would silently save a step-0 (untrained) checkpoint — fail loud
+        assert len(self.train_dataset) >= self.batch_size, (
+            f"batch_size {self.batch_size} exceeds the train dataset "
+            f"({len(self.train_dataset)} clips): the epoch loader would be "
+            "empty and no training would happen"
+        )
         steps_per_epoch = max(len(self.train_dataset) // self.batch_size, 1)
         num_epochs = self.num_steps // steps_per_epoch + 1
         for epoch in range(num_epochs):
@@ -280,6 +288,11 @@ class TrainLoopPoseNet(_CheckpointMixin):
         return cond * vis
 
     def run_loop(self):
+        assert len(self.train_dataset) >= self.batch_size, (
+            f"batch_size {self.batch_size} exceeds the train dataset "
+            f"({len(self.train_dataset)} clips): the epoch loader would be "
+            "empty and no training would happen"
+        )
         steps_per_epoch = max(len(self.train_dataset) // self.batch_size, 1)
         num_epochs = self.num_steps // steps_per_epoch + 1
         for epoch in range(num_epochs):

@@ -492,12 +492,18 @@ def run_reference(
 def run_jax(
     flax_params, body, data, noise, sample_iter=2, intermediates=True,
     mask_scheme="lower", infill_traj=False, iter2_cond_noisy_traj=True,
+    fused_posenet=False,
 ):
-    """The same config through RohmPipeline + this framework's decoders."""
+    """The same config through RohmPipeline + this framework's decoders.
+
+    fused_posenet routes the PoseNet chain through the Pallas kernels
+    (interpret mode on the CPU test backend) — used by the trained-regime
+    fused-mode gate in tests/test_e2e_parity_trained.py."""
     model_trajnet = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=MID)
     model_trajcontrol = TrajNet(traj_feat_dim=13, cond_dim=13, mid_dim=MID, trajcontrol=True)
     model_posenet = PoseNet(latent_dim=LATENT, ff_size=FF, num_layers=LAYERS, num_heads=HEADS)
     pipeline = RohmPipeline(
+        fused_posenet=fused_posenet,
         trajnet=model_trajnet, trajnet_params=flax_params.trajnet,
         trajcontrol=model_trajcontrol, trajcontrol_params=flax_params.trajcontrol,
         posenet=model_posenet, posenet_params=flax_params.posenet,
