@@ -238,5 +238,14 @@ def maybe_relay_light(cmd: str, argv: list[str] | None = None) -> bool:
     found, fwd = _argv_via_server(argv)
     if not found:
         return False
+    # Latency note: the relay itself is stdlib-only, but interpreter STARTUP
+    # can dominate it — this container's sitecustomize registers the axon
+    # TPU backend (imports jax) in every python process, 1.84 s measured vs
+    # 0.01 s without site processing. That cost is paid before any of our
+    # code runs, so it cannot be recovered here; latency-sensitive clients
+    # should invoke the entry scripts as `python -S test_amass_full.py
+    # --via_server=True ...` (the relay needs no site-packages; the daemon
+    # it spawns is a fresh full-site python). Measured warm e2e: client
+    # wall 15.1 s -> 13.2 s.
     run_cli(cmd, fwd)
     return True
