@@ -1040,7 +1040,12 @@ def test_prox_guided_chain_parity(prox_results):
 # EgoBody config: the FULL 2-iteration video driver loop
 # (cfg_files/test_cfg/egobody_rgb.yaml: iter2_cond_noisy_traj=False,
 # iter2_cond_noisy_pose=False, early_stop=True, real visibility masks)
-# against reference test_prox_egobody.py:185-324 statement-by-statement
+# against reference test_prox_egobody.py:185-324 statement-by-statement.
+# The PROX configs (prox_rgb/rgbd.yaml) ship the SAME driver flags
+# (sample_iter=2, both iter2 flags False, early_stop=True), so this covers
+# the video-loop branch structure for both datasets; the dataset-level
+# differences (kinect calibration chain, per-scene floors, y-up cano) are
+# covered by tests/test_video*.py and the calibration oracles.
 # --------------------------------------------------------------------------
 
 

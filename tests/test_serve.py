@@ -316,3 +316,26 @@ def test_ensure_server_returns_for_busy_daemon(tmp_path, monkeypatch):
     finally:
         srv.close()
         os.close(fd)
+
+
+def test_relay_import_is_sitefree():
+    """The lowest-latency documented client invocation is `python -S
+    entry_script.py --via_server=True ...` (this container's sitecustomize
+    imports jax in every python process — 1.84 s measured; the relay itself
+    is stdlib-only). Regression-guard that the relay import chain really
+    needs no site-packages: a heavy import sneaking into
+    rohm_tpu/serve/client.py or the package __init__s would silently break
+    the -S path with ImportError at client time."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-S", "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "from rohm_tpu.serve.client import maybe_relay_light, run_cli;"
+         "import rohm_tpu.serve.protocol;"
+         "print('SITEFREE-OK', 'site' in sys.modules)"],
+        capture_output=True, text=True, cwd=".", timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "SITEFREE-OK False" in proc.stdout, proc.stdout
