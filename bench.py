@@ -74,6 +74,17 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
 
     steps_per_sec = STEPS / dt
+    # the honest A100 uncertainty band (137 dispatch-bound .. 557
+    # compute-bound, scripts/bench_torch_reference.py) goes to stderr so the
+    # stdout contract stays ONE JSON line
+    import sys
+
+    print(
+        f"[bench] vs A100 band [137, 557] steps/s: "
+        f"{steps_per_sec / 557:.2f}x - {steps_per_sec / 137:.2f}x "
+        f"(point estimate {steps_per_sec / REF_A100_STEPS_PER_SEC:.2f}x at 300)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
