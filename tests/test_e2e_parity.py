@@ -902,27 +902,27 @@ def test_upper_mask_pipeline_parity(results_upper, upper_pert):
 # --------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def prox_cam(body, data):
+def make_prox_cam(body, data, n_clips, t_pose):
     """Geometrically consistent camera/keypoint setup for the prox guidance
     path: scene->cano transform, a camera at scene y=-3 looking at the
     subject, and keypoints produced by projecting the CLEAN decoded joints
     through that camera (plus pixel noise + confidences) — so the 2-D
-    reprojection loss has a meaningful, nonzero gradient on both sides."""
+    reprojection loss has a meaningful, nonzero gradient on both sides.
+    Batch-parametric so the trained-stack module can rebuild it at n=8."""
     rng = np.random.default_rng(77)
     ang = 0.3
     c, s = np.cos(ang), np.sin(ang)
     tm = np.eye(4, dtype=np.float32)
     tm[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     tm[:3, 3] = [0.5, -0.3, 0.0]
-    transf_matrix = np.stack([tm] * B)  # [B, 4, 4] scene -> canonical
+    transf_matrix = np.stack([tm] * n_clips)  # [B, 4, 4] scene -> canonical
     # camera basis in scene coords (columns): x_cam=+x, y_cam=-z, z_cam=+y
     cam_r = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
     cam_t = np.array([0.0, -3.0, 1.0], np.float32)
-    focal = np.full((B, 2), 800.0, np.float32)
-    center = np.full((B, 2), 512.0, np.float32)
+    focal = np.full((n_clips, 2), 800.0, np.float32)
+    center = np.full((n_clips, 2), 512.0, np.float32)
 
-    clean = data.pose_clean[:, :T_POSE] * data.std + data.mean
+    clean = data.pose_clean[:, :t_pose] * data.std + data.mean
     joints = np.asarray(
         recover_from_repr(split_repr(jnp.asarray(clean)), mode="smplx_params", body_model=body)
     )  # [B, T, 22, 3] canonical
@@ -943,6 +943,11 @@ def prox_cam(body, data):
         transf_matrix=transf_matrix, cam_r=cam_r, cam_t=cam_t,
         focal=focal, center=center, keypoints=kp,
     )
+
+
+@pytest.fixture(scope="module")
+def prox_cam(body, data):
+    return make_prox_cam(body, data, B, T_POSE)
 
 
 @pytest.fixture(scope="module")
@@ -1049,8 +1054,7 @@ def test_prox_guided_chain_parity(prox_results):
 # --------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def vis_mask():
+def make_vis_mask(n_clips, t_pose):
     """Per-joint visibility as the EgoBody dataloader would emit it: the lower
     body occluded for a frame window plus scattered random occlusions,
     expanded to the 294-d mask_vec_vis (dataloader_video.py:467-484; the
@@ -1058,23 +1062,32 @@ def vis_mask():
     from rohm_tpu.train.masking import expand_joint_visibility
 
     rng = np.random.default_rng(55)
-    joints = np.ones((B, T_POSE, 22), np.float32)
+    joints = np.ones((n_clips, t_pose, 22), np.float32)
     joints[:, 4:11, [1, 2, 4, 5, 7, 8, 10, 11]] = 0.0  # lower body occluded
-    joints[rng.random((B, T_POSE, 22)) < 0.05] = 0.0  # scattered kinect dropouts
-    vis = np.stack([expand_joint_visibility(joints[i]) for i in range(B)])
+    joints[rng.random((n_clips, t_pose, 22)) < 0.05] = 0.0  # scattered kinect dropouts
+    vis = np.stack([expand_joint_visibility(joints[i]) for i in range(n_clips)])
     vis[..., -4:] = 0.0  # driver zeroes contact dims of the masked cond
-    return vis  # [B, T_POSE, 294]
+    return vis  # [n_clips, t_pose, 294]
+
+
+@pytest.fixture(scope="module")
+def vis_mask():
+    return make_vis_mask(B, T_POSE)
+
+
+def make_video_noise(n_clips, seed=9876):
+    rng = np.random.default_rng(seed)
+    return {
+        "traj_init": rng.standard_normal((2, n_clips, T_TRAJ, 13), np.float32),
+        "traj_step": rng.standard_normal((2, STEPS_TRAJ, n_clips, T_TRAJ, 13), np.float32),
+        "pose_init": rng.standard_normal((2, n_clips, T_POSE, 294), np.float32),
+        "pose_step": rng.standard_normal((2, STEPS_POSE, n_clips, T_POSE, 294), np.float32),
+    }
 
 
 @pytest.fixture(scope="module")
 def noise_egobody():
-    rng = np.random.default_rng(9876)
-    return {
-        "traj_init": rng.standard_normal((2, B, T_TRAJ, 13), np.float32),
-        "traj_step": rng.standard_normal((2, STEPS_TRAJ, B, T_TRAJ, 13), np.float32),
-        "pose_init": rng.standard_normal((2, B, T_POSE, 294), np.float32),
-        "pose_step": rng.standard_normal((2, STEPS_POSE, B, T_POSE, 294), np.float32),
-    }
+    return make_video_noise(B)
 
 
 def run_reference_egobody(ref, models, twin, data, noise, cam, vis):
@@ -1238,9 +1251,10 @@ def run_jax_egobody(flax_params, body, data, noise, cam, vis):
         "focal_length": cam.focal, "camera_center": cam.center,
         "keypoints_2d": cam.keypoints,
     }
+    n_clips, t_traj = data.traj_cond.shape[:2]
     val_pose, val_traj = pipeline.run_batch(
         data.traj_cond, data.traj_noisy, data.pose_noisy, vis,
-        np.ones((B, T_TRAJ), np.float32), jax.random.PRNGKey(0),
+        np.ones((n_clips, t_traj), np.float32), jax.random.PRNGKey(0),
         guidance_data=guidance_data, preset_noise=noise,
     )
     return {"pose_final": np.asarray(val_pose), "traj_final": np.asarray(val_traj)}
